@@ -1,0 +1,148 @@
+"""Field evaluation pipeline: one batch of rays through a field.
+
+Functional equivalent of the reference's `TensorBase.forward`
+(reference: models/tensorBase.py:704-850), re-designed for TPU: everything is
+dense over a static [rays, samples] layout with `where`-masking instead of
+boolean gathers (`xyz[ray_valid]`, `rgb[app_mask]`), which XLA maps onto the
+VPU/MXU without scatter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import dynamic as dyn
+from ..fields import static as stat
+from ..fields.config import FieldConfig
+from ..fields.mlps import apply_shading
+from ..fields.static import feature2density
+from ..ops.compositing import raw2alpha
+
+
+class FieldEval(NamedTuple):
+    """Per-sample field outputs (mirrors tensorBase.py:839-850 return)."""
+
+    blending: Optional[jnp.ndarray]  # [R, S] or None (static field)
+    pts_ref: jnp.ndarray  # [R, S, 3] sampled points (input space)
+    weights: jnp.ndarray  # [R, S]
+    xyz_prime: Optional[jnp.ndarray]  # [R, S, 3] warped points or None
+    rgb: jnp.ndarray  # [R, S, 3]
+    sigma: jnp.ndarray  # [R, S]
+    z_vals: jnp.ndarray  # [R, S]
+    dists: jnp.ndarray  # [R, S] (already × distance_scale)
+
+
+def _dists_and_viewdirs(rays, z_vals, ray_type):
+    """(reference: tensorBase.py:717-739)."""
+    viewdirs = rays[:, 3:6]
+    dists = jnp.concatenate([z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], -1)
+    if ray_type in ("ndc", "contract"):
+        norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        dists = dists * norm
+        viewdirs = viewdirs / norm
+    return dists, viewdirs
+
+
+def eval_static_field(
+    params,
+    cfg: FieldConfig,
+    aabb,
+    rays: jnp.ndarray,
+    ts: jnp.ndarray,
+    xyz: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    ray_valid: jnp.ndarray,
+    ray_type: str = "ndc",
+) -> FieldEval:
+    """Static field forward over [R, S] samples."""
+    R, S, _ = xyz.shape
+    dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
+
+    xyz_n = dyn.normalize_coord(xyz, aabb)
+    flat = xyz_n.reshape(-1, 3)
+
+    sigma_feat = stat.density_feature(params, flat).reshape(R, S)
+    sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
+
+    _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+    app_mask = weight > cfg.ray_march_weight_thres
+
+    app_feats = stat.app_feature(params, flat)
+    vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    t_in = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1, 1)
+    rgb_raw = apply_shading(
+        params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
+        flat, vd, app_feats, t_in,
+    ).reshape(R, S, 3)
+    rgb = jnp.where(app_mask[..., None], rgb_raw, 0.0)
+
+    return FieldEval(
+        blending=None,
+        pts_ref=xyz,
+        weights=weight,
+        xyz_prime=None,
+        rgb=rgb,
+        sigma=sigma,
+        z_vals=z_vals,
+        dists=dists * cfg.distance_scale,
+    )
+
+
+def eval_dynamic_field(
+    params,
+    cfg: FieldConfig,
+    aabb,
+    rays: jnp.ndarray,
+    ts: jnp.ndarray,
+    xyz: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    ray_valid: jnp.ndarray,
+    ray_type: str = "ndc",
+) -> FieldEval:
+    """Dynamic field forward over [R, S] samples.
+
+    The deformation warp is evaluated once and shared across the density,
+    appearance, blending, and visualization paths (the reference re-runs it
+    four times with identical inputs — see fields/dynamic.py docstring).
+    """
+    R, S, _ = xyz.shape
+    dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
+
+    xyz_flat = xyz.reshape(-1, 3)
+    xyz_n = dyn.normalize_coord(xyz, aabb)
+    flat_n = xyz_n.reshape(-1, 3)
+    t_flat = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1)
+
+    xyz_prime = dyn.warp_coordinate(params, xyz_flat, t_flat, aabb)
+    xyz_prime_n = dyn.normalize_coord(xyz_prime, aabb)
+
+    sigma_feat = dyn.density_feature(params, cfg, flat_n, t_flat, xyz_prime_n).reshape(R, S)
+    sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
+
+    _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+    app_mask = weight > cfg.ray_march_weight_thres
+
+    app_feats = dyn.app_feature(params, cfg, xyz_prime_n)
+    vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    rgb_raw = apply_shading(
+        params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
+        flat_n, vd, app_feats, t_flat[:, None],
+    ).reshape(R, S, 3)
+    rgb = jnp.where(app_mask[..., None], rgb_raw, 0.0)
+
+    blend_feat = dyn.blending_feature(params, cfg, flat_n, t_flat, xyz_prime_n).reshape(R, S)
+    blending = jnp.where(ray_valid, jax.nn.sigmoid(blend_feat), 0.0)
+
+    return FieldEval(
+        blending=blending,
+        pts_ref=xyz,
+        weights=weight,
+        xyz_prime=xyz_prime.reshape(R, S, 3),
+        rgb=rgb,
+        sigma=sigma,
+        z_vals=z_vals,
+        dists=dists * cfg.distance_scale,
+    )

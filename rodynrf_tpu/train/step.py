@@ -1,0 +1,553 @@
+"""The jitted training step: all render passes + every loss term, one XLA program.
+
+This replaces the reference's 1,800-line eager loop body
+(reference: train.py:1032-2351) with a single compiled function. Per
+iteration it evaluates the static+dynamic field pair over up to 7 ray sets
+(SURVEY.md §3.1 passes A-G):
+
+  A  training rays (detached)           -> RGB/mask/flow/monodepth losses
+  B  novel-time rays (detached)         -> novel mask/order/distortion losses
+  C  flow-warped fwd-neighbor rays      -> disparity consistency (fwd)
+  D  flow-warped bwd-neighbor rays      -> disparity consistency (bwd)
+  E  training rays (NOT detached)       -> static RGB + pose/focal gradients
+  F  pixel (i+1) neighbor rays          -> disparity smoothness   (pose optim)
+  G  pixel (j+1) neighbor rays          -> disparity smoothness   (pose optim)
+
+The reference's detach topology is reproduced exactly with
+`lax.stop_gradient` (rays detached in A-D, focal detached in dynamic flow
+losses, static rgb/sigma detached in A-D compositing): see inline citations.
+
+Host-side schedule state (per-group learning rates with upsample resets and
+the pose/focal freeze) is passed in as runtime scalars so the compiled step
+never retraces (train/schedule.py computes them).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.rays import get_ray_directions_lean, get_rays_lean, ids2pixel, ndc_rays_blender
+from ..core.se3 import pose_to_mtx
+from ..fields import dynamic as dyn_field
+from ..fields import static as stat_field
+from ..fields.config import FieldConfig
+from ..ops.compositing import raw2outputs
+from ..ops.distortion import eff_distloss
+from ..ops.regularizers import line_orthogonality
+from ..render.flow import induce_flow
+from ..render.pipeline import eval_dynamic_field, eval_static_field
+from ..render.sampling import sample_xyz
+from . import losses as L
+
+sg = jax.lax.stop_gradient
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    """Static loss weights (reference flag defaults, opt.py:80-106)."""
+
+    distortion_static: float = 0.0
+    distortion_dynamic: float = 0.0
+    monodepth_static: float = 0.04
+    monodepth_dynamic: float = 0.04
+    small_scene_flow: float = 0.1
+    smooth_scene_flow: float = 0.1
+    l1: float = 0.0
+    ortho: float = 0.0
+    tv_density: float = 0.0
+    tv_app: float = 0.0
+
+
+@dataclass(frozen=True)
+class StepStatics:
+    """Compile-time configuration of the train step."""
+
+    static_cfg: FieldConfig
+    dynamic_cfg: FieldConfig
+    H: int
+    W: int
+    n_cams: int
+    n_samples: int
+    ray_type: str = "ndc"
+    optimize_poses: bool = False
+    optimize_focal: bool = False
+    use_disp: bool = True
+    white_bg: bool = False
+    n_iters: int = 100000
+    upsamp0: int = 2000
+    upsamp3: int = 8000
+    lr_factor: float = 1.0  # per-iteration TV-weight decay (train.py:1735, 1748)
+    weights: LossWeights = LossWeights()
+    step_size: float = 0.01  # world-sampler march step
+
+
+def focal_from_fov(fov: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(reference: train.py:1038-1041)."""
+    return max(H, W) / 2.0 / jnp.tan(fov)
+
+
+def _rays_from_idx(ray_idx, poses_mtx, focal, S: StepStatics):
+    """Pixel ids -> packed rays + per-ray pose/time index (train.py:1066-1088)."""
+    H, W = S.H, S.W
+    i, j, view_ids = ids2pixel(W, H, ray_idx)
+    dirs = get_ray_directions_lean(i, j, (focal, focal), (W / 2, H / 2))
+    poses_per_ray = poses_mtx[view_ids]
+    rays_o, rays_d = get_rays_lean(dirs, poses_per_ray)
+    if S.ray_type == "ndc":
+        rays_o, rays_d = ndc_rays_blender(H, W, (focal, focal), 1.0, rays_o, rays_d)
+    return jnp.concatenate([rays_o, rays_d], -1), i, j, view_ids
+
+
+def _rays_from_uv(uv, pose_per_ray, focal, S: StepStatics):
+    """Flow-displaced pixel coords -> rays (train.py:1433-1455)."""
+    H, W = S.H, S.W
+    dirs = jnp.stack(
+        [
+            (uv[..., 0] - W / 2) / focal,
+            -(uv[..., 1] - H / 2) / focal,
+            -jnp.ones_like(uv[..., 0]),
+        ],
+        -1,
+    )
+    rays_o, rays_d = get_rays_lean(dirs, pose_per_ray)
+    if S.ray_type == "ndc":
+        rays_o, rays_d = ndc_rays_blender(H, W, (focal, focal), 1.0, rays_o, rays_d)
+    return jnp.concatenate([rays_o, rays_d], -1)
+
+
+def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bool):
+    """Sampler + static field + dynamic field + dual compositor for one ray set.
+
+    detach_static reproduces the reference's `.detach()` on static rgb/sigma
+    in passes A-D (train.py:1152-1153 etc.); in that case the static field is
+    evaluated entirely under stop_gradient (no VJP residuals at all).
+    """
+    k_samp, k_comp = jax.random.split(key)
+    xyz, z_vals, ray_valid = sample_xyz(
+        rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k_samp
+    )
+
+    def run_static(p):
+        return eval_static_field(
+            p, S.static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, S.ray_type
+        )
+
+    if detach_static:
+        st = run_static(sg(params["static"]))
+        st = jax.tree_util.tree_map(sg, st)
+    else:
+        st = run_static(params["static"])
+
+    dn = eval_dynamic_field(
+        params["dynamic"], S.dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, S.ray_type
+    )
+
+    out = raw2outputs(
+        st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
+        is_train=True, ray_type=S.ray_type, key=k_comp,
+    )
+    return out, st, dn, z_vals
+
+
+def train_loss(
+    params: Dict[str, Any],
+    S: StepStatics,
+    aabb: jnp.ndarray,
+    data: Dict[str, jnp.ndarray],
+    ray_idx: jnp.ndarray,
+    ray_idx_rand: jnp.ndarray,
+    key: jax.Array,
+    sc: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full loss assembly (reference: train.py:1032-2311). Returns
+    (total_loss, metrics)."""
+    H, W, T = S.H, S.W, S.n_cams
+    it = sc["iteration"].astype(jnp.float32)
+    wts = S.weights
+    metrics: Dict[str, jnp.ndarray] = {}
+
+    # Lambda annealing (train.py:1033-1036).
+    Temp_static = 10.0 ** (-(it / 100000.0))
+    Temp = 10.0 ** (-jnp.floor(it / 100000.0))
+    Temp_disp_TV = 10.0 ** (-jnp.floor(it / 50000.0))
+
+    # iteration-gated loss switches (train.py:1248, 1339), traced so the step
+    # compiles once.
+    after_u0 = (it >= S.upsamp0).astype(jnp.float32)
+    after_u3 = (it >= S.upsamp3).astype(jnp.float32)
+
+    # camera state
+    if S.optimize_focal:
+        focal = focal_from_fov(params["fov"][0, 0], H, W)
+    else:
+        focal = sc["focal_fixed"]
+    poses_mtx = pose_to_mtx(params["pose"])  # [T, 3, 4]
+
+    # batch gather (device-resident dataset)
+    rgb_train = data["rgbs"][ray_idx]
+    ts_train = data["ts"][ray_idx]
+    flow_f = data["flows_f"][ray_idx]
+    mask_f = data["flow_masks_f"][ray_idx][..., None]
+    flow_b = data["flows_b"][ray_idx]
+    mask_b = data["flow_masks_b"][ray_idx][..., None]
+    fg_mask = data["fg_masks"][ray_idx]
+    disps_train = data["disps"][ray_idx] if S.use_disp else None
+    ts_rand = data["ts"][ray_idx_rand]
+
+    rays_train, i_px, j_px, view_ids = _rays_from_idx(ray_idx, poses_mtx, focal, S)
+    grid_train = jnp.stack([i_px, j_px], -1).astype(jnp.float32)  # (train.py:983-988)
+
+    t_ref = ray_idx // (H * W)
+    u_ref = (ray_idx % (H * W)) // W
+    v_ref = (ray_idx % (H * W)) % W
+    t_interval = 2.0 / (T - 1)
+
+    poses_f = jnp.concatenate([poses_mtx[1:], poses_mtx[-1:]], 0)[t_ref]
+    poses_b = jnp.concatenate([poses_mtx[0:1], poses_mtx[:-1]], 0)[t_ref]
+
+    keys = jax.random.split(key, 8)
+    total = 0.0
+
+    # ---------------- PASS A: training rays, detached (train.py:1092-1162)
+    rays_det = sg(rays_train)
+    outA, stA, dnA, _ = _dual_pass(params, S, aabb, rays_det, ts_train, keys[0], detach_static=True)
+
+    # ---------------- PASS B: novel time (train.py:1166-1246)
+    outB, stB, dnB, _ = _dual_pass(params, S, aabb, rays_det, ts_rand, keys[1], detach_static=True)
+
+    # skewed mask + novel mask losses (train.py:1248-1273), gated on upsamp3
+    skewed_rand = L.skewed_entropy(outB.dynamicness)
+    novel_mask = jnp.mean(jnp.abs(outB.dynamicness))
+    total += after_u3 * 0.01 * (skewed_rand + novel_mask)
+    metrics["skewed_mask_loss_rand"] = skewed_rand
+    metrics["novel_view_time_mask_loss"] = novel_mask
+
+    # novel adaptive order loss (train.py:1276-1292)
+    novel_order = L.adaptive_order_loss(
+        outB.depth_d, sg(outB.depth_s), sg(outB.dynamicness), S.ray_type
+    )
+    total += novel_order * 10.0
+    metrics["novel_order_loss"] = novel_order
+
+    # novel-time distortion (train.py:1299-1311)
+    if wts.distortion_dynamic > 0:
+        nS = outB.weights_d.shape[1]
+        dist_rand = eff_distloss(outB.weights_d, sg(outB.z_vals if hasattr(outB, "z_vals") else dnB.z_vals), 1.0 / nS)
+        total += dist_rand * wts.distortion_dynamic * (it / S.n_iters)
+        metrics["loss_distortion_rand"] = dist_rand
+
+    # scene flow at pass-A sample points (train.py:1319-1321)
+    scene_flow_f, scene_flow_b = dyn_field.scene_flow(
+        params["dynamic"], dnA.pts_ref, ts_train, aabb
+    )
+
+    # RGB losses (train.py:1323-1335)
+    img_loss = L.mse(outA.rgb_full, rgb_train)
+    total += 3.0 * img_loss
+    metrics["mse"] = img_loss
+    metrics["psnr"] = -10.0 * jnp.log(img_loss) / jnp.log(10.0)
+
+    img_d_loss = L.mse(outA.rgb_d, rgb_train)
+    total += 1.0 * img_d_loss
+    metrics["img_d_loss"] = img_d_loss
+
+    # mask loss (train.py:1339-1347), gated on upsamp0
+    mask_loss = jnp.mean(jnp.abs(outA.dynamicness - fg_mask))
+    total += after_u0 * 0.1 * mask_loss * Temp_disp_TV
+    metrics["mask_loss"] = mask_loss
+
+    # skewed mask + L1 on training time (train.py:1349-1371), gated on upsamp3
+    skewed = L.skewed_entropy(outA.dynamicness)
+    mask_l1 = jnp.mean(jnp.abs(outA.dynamicness))
+    total += after_u3 * 0.01 * (skewed + mask_l1)
+    metrics["skewed_mask_loss"] = skewed
+    metrics["mask_L1_reg_loss"] = mask_l1
+
+    # displaced points (train.py:1373-1378)
+    if S.ray_type == "ndc":
+        pts_f = dnA.pts_ref + scene_flow_f
+        pts_b = dnA.pts_ref + scene_flow_b
+    else:
+        pts_f = jnp.clip(dnA.pts_ref + scene_flow_f, -2.0 + 1e-6, 2.0 - 1e-6)
+        pts_b = jnp.clip(dnA.pts_ref + scene_flow_b, -2.0 + 1e-6, 2.0 - 1e-6)
+
+    # induced flow losses (train.py:1380-1419); focal detached here
+    focal_det = sg(focal)
+    induced_flow_f, induced_disp_f = induce_flow(
+        H, W, focal_det, sg(poses_f), outA.weights_d, pts_f, grid_train, rays_det, S.ray_type
+    )
+    flow_f_loss = L.masked_l1_mean(jnp.abs(induced_flow_f - flow_f), mask_f, 2.0)
+    induced_flow_b, induced_disp_b = induce_flow(
+        H, W, focal_det, sg(poses_b), outA.weights_d, pts_b, grid_train, rays_det, S.ray_type
+    )
+    flow_b_loss = L.masked_l1_mean(jnp.abs(induced_flow_b - flow_b), mask_b, 2.0)
+    total += 0.02 * (flow_f_loss + flow_b_loss) * Temp
+    metrics["flow_f_loss"] = flow_f_loss
+    metrics["flow_b_loss"] = flow_b_loss
+
+    # small scene flow (train.py:1421-1429)
+    small_sf = jnp.mean(jnp.abs(scene_flow_f)) + jnp.mean(jnp.abs(scene_flow_b))
+    total += wts.small_scene_flow * small_sf
+    metrics["small_scene_flow_loss"] = small_sf
+
+    # ------------- PASS C/D: flow-warped neighbor rays (train.py:1431-1625)
+    uv_f = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_f
+    rays_f = _rays_from_uv(uv_f, sg(poses_f), focal_det, S)
+    outC, _, dnC, _ = _dual_pass(params, S, aabb, sg(rays_f), ts_train + t_interval, keys[2], detach_static=True)
+    _, induced_disp_ff = induce_flow(
+        H, W, focal_det, sg(poses_f), outC.weights_d, dnC.pts_ref, grid_train, sg(rays_f), S.ray_type
+    )
+    disp_f_loss = L.masked_l1_mean(jnp.abs(induced_disp_f - induced_disp_ff), mask_f)
+    total += 0.04 * disp_f_loss * Temp
+    metrics["disp_f_loss"] = disp_f_loss
+
+    uv_b = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_b
+    rays_b = _rays_from_uv(uv_b, sg(poses_b), focal_det, S)
+    outD, _, dnD, _ = _dual_pass(params, S, aabb, sg(rays_b), ts_train - t_interval, keys[3], detach_static=True)
+    _, induced_disp_bb = induce_flow(
+        H, W, focal_det, sg(poses_b), outD.weights_d, dnD.pts_ref, grid_train, sg(rays_b), S.ray_type
+    )
+    disp_b_loss = L.masked_l1_mean(jnp.abs(induced_disp_b - induced_disp_bb), mask_b)
+    total += 0.04 * disp_b_loss * Temp
+    metrics["disp_b_loss"] = disp_b_loss
+
+    # smooth scene flow (train.py:1627-1633)
+    smooth_sf = jnp.mean(jnp.abs(scene_flow_f + scene_flow_b))
+    total += wts.smooth_scene_flow * smooth_sf
+    metrics["smooth_scene_flow_loss"] = smooth_sf
+
+    # monodepth dynamic (train.py:1635-1659)
+    if S.use_disp:
+        if S.ray_type == "ndc":
+            md = L.monodepth_loss(outA.depth_d, -disps_train, t_ref, T)
+        else:
+            md = L.monodepth_loss(1.0 / (outA.depth_d + 1e-6), disps_train, t_ref, T)
+        total += md * wts.monodepth_dynamic * Temp
+        metrics["total_mono_depth_loss_dynamic"] = md
+
+    # adaptive order loss (train.py:1666-1680)
+    order = L.adaptive_order_loss(outA.depth_d, sg(outA.depth_s), sg(outA.dynamicness), S.ray_type)
+    total += order * 10.0
+    metrics["order_loss"] = order
+
+    # dynamic distortion over A/C/D (train.py:1685-1711)
+    if wts.distortion_dynamic > 0:
+        nS = outA.weights_d.shape[1]
+        dist = (
+            eff_distloss(outA.weights_d, sg(dnA.z_vals), 1.0 / nS)
+            + eff_distloss(outC.weights_d, sg(dnC.z_vals), 1.0 / nS)
+            + eff_distloss(outD.weights_d, sg(dnD.z_vals), 1.0 / nS)
+        )
+        total += dist * wts.distortion_dynamic * (it / S.n_iters)
+        metrics["loss_distortion"] = dist
+
+    # grid regularizers, dynamic field (train.py:1718-1753)
+    if wts.ortho > 0:
+        ortho = line_orthogonality(params["dynamic"]["density_line"]) + line_orthogonality(
+            params["dynamic"]["app_line"]
+        )
+        total += wts.ortho * ortho
+        metrics["reg"] = ortho
+    if wts.l1 > 0:
+        l1d = dyn_field.density_l1(params["dynamic"], S.dynamic_cfg)
+        total += wts.l1 * l1d
+        metrics["loss_reg_L1_density"] = l1d
+    tv_mult = S.lr_factor ** (it + 1.0)  # (train.py:1735: *= lr_factor before use)
+    if wts.tv_density > 0:
+        tvd = dyn_field.tv_density(params["dynamic"]) + dyn_field.tv_blending(params["dynamic"])
+        total += wts.tv_density * tv_mult * tvd
+        metrics["reg_tv_density"] = tvd
+    if wts.tv_app > 0:
+        tva = dyn_field.tv_app(params["dynamic"])
+        total += wts.tv_app * tv_mult * tva
+        metrics["reg_tv_app"] = tva
+
+    # ------------- PASS E: non-detached rays -> static + camera gradients
+    # (train.py:1755-1823)
+    outE, stE, dnE, z_vals_E = _dual_pass(params, S, aabb, rays_train, ts_train, keys[4], detach_static=False)
+
+    # static RGB on background pixels (train.py:1827-1835)
+    bg = 1.0 - fg_mask[..., None]
+    img_s_loss = jnp.sum(((outE.rgb_s - rgb_train) ** 2) * bg) / (jnp.sum(bg) + 1e-8) / 3.0
+    total += 1.0 * img_s_loss
+    metrics["img_s_loss"] = img_s_loss
+
+    # static distortion (train.py:1841-1856)
+    if wts.distortion_static > 0:
+        nS = outE.weights_s.shape[1]
+        dist_s = eff_distloss(outE.weights_s, z_vals_E, 1.0 / nS)
+        total += dist_s * wts.distortion_static * (it / S.n_iters)
+        metrics["loss_distortion_static"] = dist_s
+
+    # static regs (train.py:1863-1887)
+    if wts.l1 > 0:
+        l1s = stat_field.density_l1(params["static"], S.static_cfg)
+        total += wts.l1 * l1s
+        metrics["loss_reg_L1_density_s"] = l1s
+    if wts.tv_density > 0:
+        tvs = stat_field.tv_density(params["static"])
+        total += wts.tv_density * tv_mult * tvs
+        metrics["reg_tv_density_static"] = tvs
+    if wts.tv_app > 0:
+        tvas = stat_field.tv_app(params["static"])
+        total += wts.tv_app * tv_mult * tvas
+        metrics["reg_tv_app_static"] = tvas
+
+    if S.optimize_poses:
+        # static motion losses (train.py:1895-1958); focal NOT detached
+        induced_flow_f_s, induced_disp_f_s = induce_flow(
+            H, W, focal, poses_f, outE.weights_s, stE.pts_ref, grid_train, rays_train, S.ray_type
+        )
+        comb_f = mask_f * bg
+        flow_f_s = L.masked_l1_mean(jnp.abs(induced_flow_f_s - flow_f), comb_f, 2.0)
+        induced_flow_b_s, induced_disp_b_s = induce_flow(
+            H, W, focal, poses_b, outE.weights_s, stE.pts_ref, grid_train, rays_train, S.ray_type
+        )
+        comb_b = mask_b * bg
+        flow_b_s = L.masked_l1_mean(jnp.abs(induced_flow_b_s - flow_b), comb_b, 2.0)
+        total += 0.02 * (flow_f_s + flow_b_s) * Temp_static
+        metrics["flow_f_s_loss"] = flow_f_s
+        metrics["flow_b_s_loss"] = flow_b_s
+
+        # static disparity consistency via flow-warped rays, static-field-only
+        # passes (train.py:1960-2094)
+        uv_f2 = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_f
+        rays_f_nd = _rays_from_uv(uv_f2, poses_f, focal, S)
+        k5a, k5b = jax.random.split(keys[5])
+        xyz_f, zv_f, rv_f = sample_xyz(
+            rays_f_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5a
+        )
+        stFF = eval_static_field(
+            params["static"], S.static_cfg, aabb, rays_f_nd, ts_train, xyz_f, zv_f, rv_f, S.ray_type
+        )
+        _, induced_disp_s_ff = induce_flow(
+            H, W, focal, poses_f, stFF.weights, stFF.pts_ref, grid_train, rays_f_nd, S.ray_type
+        )
+        disp_f_s = L.masked_l1_mean(jnp.abs(induced_disp_f_s - induced_disp_s_ff), comb_f)
+        total += 0.04 * disp_f_s * Temp_static
+        metrics["disp_f_s_loss"] = disp_f_s
+
+        uv_b2 = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_b
+        rays_b_nd = _rays_from_uv(uv_b2, poses_b, focal, S)
+        xyz_b, zv_b, rv_b = sample_xyz(
+            rays_b_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5b
+        )
+        stBB = eval_static_field(
+            params["static"], S.static_cfg, aabb, rays_b_nd, ts_train, xyz_b, zv_b, rv_b, S.ray_type
+        )
+        _, induced_disp_s_bb = induce_flow(
+            H, W, focal, poses_b, stBB.weights, stBB.pts_ref, grid_train, rays_b_nd, S.ray_type
+        )
+        disp_b_s = L.masked_l1_mean(jnp.abs(induced_disp_b_s - induced_disp_s_bb), comb_b)
+        total += 0.04 * disp_b_s * Temp_static
+        metrics["disp_b_s_loss"] = disp_b_s
+
+        # static monodepth, background-only (train.py:2096-2116)
+        if S.use_disp:
+            bg_valid = fg_mask < 0.5
+            if S.ray_type == "ndc":
+                md_s = L.monodepth_loss(outE.depth_s, -disps_train, t_ref, T, bg_valid)
+            else:
+                md_s = L.monodepth_loss(1.0 / (outE.depth_s + 1e-6), disps_train, t_ref, T, bg_valid)
+            total += md_s * wts.monodepth_static * Temp_static
+            metrics["total_mono_depth_loss_static"] = md_s
+
+        # ---------- PASS F/G: pixel-neighbor rays (train.py:2123-2311)
+        i_n = jnp.clip(i_px + 1, None, W - 1)
+        j_n = jnp.clip(j_px + 1, None, H - 1)
+        poses_per_ray = poses_mtx[view_ids]
+
+        def neighbor_depth(ii, jj, k):
+            dirs = get_ray_directions_lean(ii, jj, (focal, focal), (W / 2, H / 2))
+            ro, rd = get_rays_lean(dirs, poses_per_ray)
+            if S.ray_type == "ndc":
+                ro, rd = ndc_rays_blender(H, W, (focal, focal), 1.0, ro, rd)
+            rays_n = jnp.concatenate([ro, rd], -1)
+            out_n, _, _, _ = _dual_pass(params, S, aabb, rays_n, ts_train, k, detach_static=False)
+            return out_n.depth_s
+
+        depth_s_i = neighbor_depth(i_n, j_px, keys[6])
+        depth_s_j = neighbor_depth(i_px, j_n, keys[7])
+        smooth = L.disp_smooth_loss(outE.depth_s, depth_s_i, depth_s_j)
+        total += smooth * 50.0 * Temp_disp_TV
+        metrics["disp_smooth_loss"] = smooth
+
+    metrics["total_loss"] = total
+    metrics["focal"] = focal
+    return total, metrics
+
+
+# ---------------------------------------------------------------------------
+# Optimizer plumbing: one shared Adam(0.9, 0.99) moment state per partition
+# (fields / pose / focal), per-leaf learning rates applied outside the
+# transform so runtime lr scalars never retrace (reference: train.py:934,
+# 991-1009, 2350-2351, 2589-2610).
+# ---------------------------------------------------------------------------
+
+ADAM = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8)
+
+
+def is_spatial(path) -> bool:
+    """Plane/line params get lr_init (0.02); everything else lr_basis (0.001)
+    (reference: tensoRF.py:49-61, 352-376 get_optparam_groups)."""
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    return any(("plane" in str(n) or "line" in str(n)) for n in names)
+
+
+def init_opt_state(params):
+    return {
+        "fields": ADAM.init({"static": params["static"], "dynamic": params["dynamic"]}),
+        "pose": ADAM.init(params["pose"]),
+        "fov": ADAM.init(params["fov"]),
+    }
+
+
+def apply_updates(params, grads, opt_state, sc):
+    """Adam + per-group lr; lr scalars come from the host schedule."""
+    field_params = {"static": params["static"], "dynamic": params["dynamic"]}
+    field_grads = {"static": grads["static"], "dynamic": grads["dynamic"]}
+    upd_f, new_fields_state = ADAM.update(field_grads, opt_state["fields"], field_params)
+    lr_sp, lr_net = sc["lr_spatial"], sc["lr_network"]
+    upd_f = jax.tree_util.tree_map_with_path(
+        lambda path, u: -(lr_sp if is_spatial(path) else lr_net) * u, upd_f
+    )
+    new_field_params = optax.apply_updates(field_params, upd_f)
+
+    upd_p, new_pose_state = ADAM.update(grads["pose"], opt_state["pose"], params["pose"])
+    new_pose = params["pose"] - sc["lr_pose"] * upd_p
+
+    upd_v, new_fov_state = ADAM.update(grads["fov"], opt_state["fov"], params["fov"])
+    new_fov = params["fov"] - sc["lr_focal"] * upd_v
+
+    new_params = {
+        "static": new_field_params["static"],
+        "dynamic": new_field_params["dynamic"],
+        "pose": new_pose,
+        "fov": new_fov,
+    }
+    new_state = {"fields": new_fields_state, "pose": new_pose_state, "fov": new_fov_state}
+    return new_params, new_state
+
+
+def make_train_step(S: StepStatics, donate: bool = True):
+    """Build the jitted step: (params, opt_state, aabb, data, ray_idx,
+    ray_idx_rand, key, sc) -> (params, opt_state, metrics)."""
+
+    def step(params, opt_state, aabb, data, ray_idx, ray_idx_rand, key, sc):
+        grad_fn = jax.value_and_grad(
+            lambda p: train_loss(p, S, aabb, data, ray_idx, ray_idx_rand, key, sc),
+            has_aux=True,
+        )
+        (_, metrics), grads = grad_fn(params)
+        new_params, new_state = apply_updates(params, grads, opt_state, sc)
+        return new_params, new_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
