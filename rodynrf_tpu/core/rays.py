@@ -70,7 +70,10 @@ def ndc_rays_blender(H: int, W: int, focal, near: float, rays_o, rays_d):
     (reference: ray_utils.py:115-140 ndc_rays_blender2; the scalar-focal
     variant at 197-222 is this with fx == fy).
     """
-    fx, fy = (focal, focal) if jnp.ndim(focal) == 0 else (focal[0], focal[1])
+    if isinstance(focal, (tuple, list)):
+        fx, fy = focal[0], focal[1]
+    else:
+        fx = fy = focal
     t = -(near + rays_o[..., 2]) / rays_d[..., 2]
     rays_o = rays_o + t[..., None] * rays_d
 

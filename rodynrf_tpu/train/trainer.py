@@ -1,0 +1,200 @@
+"""Trainer: owns params, optimizer state, schedules, and the jitted step.
+
+The orchestration equivalent of the reference's `reconstruction()`
+(reference: train.py:824-2658), factored into a real class. The hot loop is
+one compiled step; Python only gathers batch indices, advances schedules, and
+handles the ≤7 upsample recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import FieldConfig, cal_n_samples, n_to_reso
+from ..fields.dynamic import init_dynamic_field, upsample_dynamic_field
+from ..fields.static import init_static_field, upsample_static_field
+from ..data.scene import SceneData, default_focal
+from .schedule import LrSchedule, PermutationSampler, n_voxel_schedule
+from .step import LossWeights, StepStatics, init_opt_state, make_train_step
+
+
+def init_pose_params(scene: SceneData, n_cams: int) -> np.ndarray:
+    """6D-rotation + translation per frame (reference: train.py:964-973)."""
+    init = np.zeros((n_cams, 9), np.float32)
+    if scene.poses is not None:
+        init[:, 0:3] = scene.poses[:, :, 0]
+        init[:, 3:6] = scene.poses[:, :, 1]
+        init[:, 6:9] = scene.poses[:, :, 3]
+    else:
+        init[:, 0] = 1.0
+        init[:, 4] = 1.0
+    return init
+
+
+class Trainer:
+    def __init__(self, args, scene: SceneData, key: Optional[jax.Array] = None):
+        self.args = args
+        self.scene = scene
+        self.key = key if key is not None else jax.random.PRNGKey(args.seed)
+
+        W, H = scene.img_wh
+        self.H, self.W = H, W
+        self.aabb = jnp.asarray(scene.scene_bbox)
+
+        reso_cur = n_to_reso(args.N_voxel_init, scene.scene_bbox)
+        self.n_samples = min(args.nSamples, cal_n_samples(reso_cur, args.step_ratio))
+
+        common = dict(
+            t_size=args.N_voxel_t,
+            density_n_comp=tuple(args.n_lamb_sigma),
+            app_n_comp=tuple(args.n_lamb_sh),
+            app_dim=args.data_dim_color,
+            density_shift=args.density_shift,
+            alpha_mask_thres=args.alpha_mask_thre,
+            distance_scale=args.distance_scale,
+            ray_march_weight_thres=args.rm_weight_mask_thre,
+            fea2dense_act=args.fea2denseAct,
+            near_far=tuple(scene.near_far),
+            step_ratio=args.step_ratio,
+            pos_pe=args.pos_pe,
+            view_pe=args.view_pe,
+            featureC=args.featureC,
+        )
+        # static model uses fea_pe=2, dynamic fea_pe=0 (train.py:889, 918)
+        self.static_cfg = FieldConfig(
+            grid_size=reso_cur, shading_mode=args.shadingModeStatic, fea_pe=2, **common
+        )
+        self.dynamic_cfg = FieldConfig(
+            grid_size=reso_cur, shading_mode=args.shadingMode, fea_pe=0, **common
+        )
+
+        k1, k2, self.key = jax.random.split(self.key, 3)
+        self.params = {
+            "static": init_static_field(k1, self.static_cfg),
+            "dynamic": init_dynamic_field(k2, self.dynamic_cfg),
+            "pose": jnp.asarray(init_pose_params(scene, args.N_voxel_t)),
+            "fov": jnp.full((1, 1), 30.0 / 180.0 * np.pi, jnp.float32),
+        }
+        self.opt_state = init_opt_state(self.params)
+
+        if args.lr_decay_iters > 0:
+            lr_factor = args.lr_decay_target_ratio ** (1.0 / args.lr_decay_iters)
+        else:
+            lr_factor = args.lr_decay_target_ratio ** (1.0 / args.n_iters)
+        self.lr_factor = lr_factor
+
+        self.schedule = LrSchedule(
+            lr_init=args.lr_init,
+            lr_basis=args.lr_basis,
+            lr_factor=lr_factor,
+            n_iters=args.n_iters,
+            upsamp_list=list(args.upsamp_list),
+            optimize_poses=bool(args.optimize_poses),
+            optimize_focal=bool(args.optimize_focal_length),
+            lr_upsample_reset=bool(args.lr_upsample_reset),
+            lr_decay_target_ratio=args.lr_decay_target_ratio,
+        )
+        self.n_voxel_list = n_voxel_schedule(
+            args.N_voxel_init, args.N_voxel_final, len(args.upsamp_list)
+        )
+
+        self.sampler = PermutationSampler(scene.n_rays, args.batch_size, args.seed)
+        self.sampler2 = PermutationSampler(scene.n_rays, args.batch_size, args.seed + 1)
+
+        self.data = jax.tree_util.tree_map(jnp.asarray, scene.device_arrays())
+        self.focal_fixed = float(scene.focal if scene.focal is not None else default_focal(W, H))
+
+        self._build_step()
+        self.iteration = 0
+        self.metrics_history = []
+
+    # ------------------------------------------------------------------
+    def _statics(self) -> StepStatics:
+        a = self.args
+        return StepStatics(
+            static_cfg=self.static_cfg,
+            dynamic_cfg=self.dynamic_cfg,
+            H=self.H,
+            W=self.W,
+            n_cams=a.N_voxel_t,
+            n_samples=self.n_samples,
+            ray_type=a.ray_type,
+            optimize_poses=bool(a.optimize_poses),
+            optimize_focal=bool(a.optimize_focal_length),
+            use_disp=bool(a.use_disp),
+            white_bg=self.scene.white_bg,
+            n_iters=a.n_iters,
+            upsamp0=a.upsamp_list[0],
+            upsamp3=a.upsamp_list[3] if len(a.upsamp_list) > 3 else a.upsamp_list[-1],
+            lr_factor=self.lr_factor,
+            weights=LossWeights(
+                distortion_static=a.distortion_weight_static,
+                distortion_dynamic=a.distortion_weight_dynamic,
+                monodepth_static=a.monodepth_weight_static,
+                monodepth_dynamic=a.monodepth_weight_dynamic,
+                small_scene_flow=a.small_scene_flow_weight,
+                smooth_scene_flow=a.smooth_scene_flow_weight,
+                l1=a.L1_weight_inital,
+                ortho=a.Ortho_weight,
+                tv_density=a.TV_weight_density,
+                tv_app=a.TV_weight_app,
+            ),
+            step_size=self.static_cfg.step_size(np.asarray(self.scene.scene_bbox)),
+        )
+
+    def _build_step(self):
+        self.step_fn = make_train_step(self._statics())
+
+    # ------------------------------------------------------------------
+    def run_step(self) -> Dict[str, float]:
+        i = self.iteration
+        ray_idx = jnp.asarray(self.sampler.nextids())
+        ray_idx_rand = jnp.asarray(self.sampler2.nextids())
+        self.key, sub = jax.random.split(self.key)
+        sc = {
+            "iteration": jnp.asarray(i, jnp.int32),
+            "focal_fixed": jnp.asarray(self.focal_fixed, jnp.float32),
+        }
+        sc.update({k: jnp.asarray(v, jnp.float32) for k, v in self.schedule.scalars(i).items()})
+        self.params, self.opt_state, metrics = self.step_fn(
+            self.params, self.opt_state, self.aabb, self.data, ray_idx, ray_idx_rand, sub, sc
+        )
+        self.schedule.after_step(i)
+        self.iteration += 1
+
+        if self.iteration in self.args.upsamp_list:
+            self._upsample()
+        return metrics
+
+    def _upsample(self):
+        """Coarse-to-fine grid growth (reference: train.py:2582-2606)."""
+        n_voxels = self.n_voxel_list.pop(0)
+        reso = n_to_reso(n_voxels, self.scene.scene_bbox)
+        self.n_samples = min(self.args.nSamples, cal_n_samples(reso, self.args.step_ratio))
+        self.params = dict(self.params)
+        self.params["static"] = upsample_static_field(self.params["static"], reso)
+        self.params["dynamic"] = upsample_dynamic_field(self.params["dynamic"], reso)
+        self.static_cfg = self.static_cfg.with_grid(reso)
+        self.dynamic_cfg = self.dynamic_cfg.with_grid(reso)
+        self.schedule.on_upsample(self.iteration)
+        self.opt_state = init_opt_state(self.params)  # fresh Adam (train.py:2606)
+        self._build_step()
+
+    # ------------------------------------------------------------------
+    def train(self, n_steps: Optional[int] = None, log_every: int = 100, logger=None):
+        n = n_steps if n_steps is not None else self.args.n_iters - self.iteration
+        t0 = time.time()
+        for _ in range(n):
+            metrics = self.run_step()
+            if logger is not None and (self.iteration % log_every == 0 or self.iteration == 1):
+                host = {k: float(v) for k, v in metrics.items()}
+                host["iter"] = self.iteration
+                host["elapsed"] = time.time() - t0
+                logger(host)
+        return jax.tree_util.tree_map(float, metrics)

@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""CLI entry point — surface-compatible with the reference's train.py.
+
+    python train.py --config configs/DAVIS.txt
+    python train.py --config ... --render_only 1 --render_test 1 --render_path 1
+    python train.py --config ... --export_mesh 1 --ckpt log/exp/exp.npz
+
+Dispatch mirrors reference train.py:2661-2675 (export_mesh | render_only |
+reconstruction).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# JAX setup must precede jax import side effects in library code.
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import numpy as np
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from rodynrf_tpu.data.video_dataset import load_scene
+from rodynrf_tpu.eval.evaluation import evaluate, export_poses_bounds
+from rodynrf_tpu.eval.paths import evaluation_path, generate_path
+from rodynrf_tpu.render.renderer import make_chunk_renderer
+from rodynrf_tpu.train.checkpoints import export_th, load_checkpoint, save_checkpoint
+from rodynrf_tpu.train.config import config_parser
+from rodynrf_tpu.train.trainer import Trainer
+from rodynrf_tpu.core.se3 import pose_to_mtx
+from rodynrf_tpu.fields.config import cal_n_samples
+
+
+def _tb_writer(logfolder, disabled):
+    if disabled:
+        class Dummy:
+            def add_scalar(self, *a, **k): ...
+            def add_images(self, *a, **k): ...
+            def close(self): ...
+        return Dummy()
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(logfolder)
+    except Exception:
+        class Dummy:
+            def add_scalar(self, *a, **k): ...
+            def add_images(self, *a, **k): ...
+            def close(self): ...
+        return Dummy()
+
+
+def _current_cameras(trainer):
+    poses_mtx = np.asarray(pose_to_mtx(trainer.params["pose"]))
+    if trainer.args.optimize_focal_length:
+        fov = float(np.asarray(trainer.params["fov"])[0, 0])
+        focal = max(trainer.H, trainer.W) / 2.0 / np.tan(fov)
+    else:
+        focal = trainer.focal_fixed
+    return poses_mtx, float(focal)
+
+
+def _save_ckpts(trainer, logfolder, expname):
+    poses_mtx, focal = _current_cameras(trainer)
+    save_checkpoint(
+        f"{logfolder}/{expname}.npz",
+        {k: trainer.params[k] for k in ("static", "dynamic", "pose", "fov")},
+        trainer.static_cfg,
+        trainer.dynamic_cfg,
+        np.asarray(trainer.aabb),
+        extra={"focal": focal, "iteration": trainer.iteration},
+    )
+    if trainer.args.export_th:
+        try:
+            export_th(
+                f"{logfolder}/{expname}.th", trainer.params["dynamic"],
+                trainer.dynamic_cfg, np.asarray(trainer.aabb), poses_mtx, focal,
+                dynamic=True,
+            )
+            export_th(
+                f"{logfolder}/{expname}_static.th", trainer.params["static"],
+                trainer.static_cfg, np.asarray(trainer.aabb), poses_mtx, focal,
+                dynamic=False,
+            )
+        except Exception as e:  # torch optional
+            print(f"[warn] .th export skipped: {e}")
+
+
+def reconstruction(args):
+    scene = load_scene(args)
+    logfolder = f"{args.basedir}/{args.expname}"
+    os.makedirs(logfolder, exist_ok=True)
+    writer = _tb_writer(args.tblogdir or logfolder, args.no_tensorboard)
+
+    trainer = Trainer(args, scene)
+    print(f"grid {trainer.static_cfg.grid_size}, nSamples {trainer.n_samples}, "
+          f"rays {scene.n_rays}, devices {jax.device_count()}")
+
+    import time
+
+    t0 = time.time()
+    window = []
+    for it in range(args.n_iters):
+        metrics = trainer.run_step()
+        if (it + 1) % args.progress_refresh_rate == 0:
+            host = {k: float(v) for k, v in metrics.items()}
+            window.append(host["psnr"])
+            dt = time.time() - t0
+            rays_s = args.batch_size * (it + 1) / dt
+            print(
+                f"iter {it+1:06d} loss {host['total_loss']:.4f} "
+                f"psnr {np.mean(window[-10:]):.2f} rays/s {rays_s:,.0f}"
+            )
+            for k, v in host.items():
+                writer.add_scalar(f"train/{k}", v, it)
+        if (it + 1) % 10000 == 0:
+            _save_ckpts(trainer, logfolder, args.expname)
+
+    _save_ckpts(trainer, logfolder, args.expname)
+
+    # final evaluation (train.py:2623-2641)
+    poses_mtx, focal = _current_cameras(trainer)
+    render_chunk = make_chunk_renderer(
+        trainer.static_cfg, trainer.dynamic_cfg, args.ray_type, trainer.n_samples,
+        trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
+    )
+    PSNRs, near_fars, _ = evaluate(
+        render_chunk, trainer.params, trainer.aabb, poses_mtx, focal, scene,
+        args.ray_type, save_path=f"{logfolder}/imgs_test_all", n_vis=-1,
+    )
+    if PSNRs:
+        print(f"======> {args.expname} train all psnr: {np.mean(PSNRs)} <========")
+    export_poses_bounds(
+        os.path.join(args.datadir, "poses_bounds_RoDynRF.npy")
+        if os.path.isdir(args.datadir)
+        else f"{logfolder}/poses_bounds_RoDynRF.npy",
+        poses_mtx, focal, trainer.H, trainer.W, args.downsample_train, near_fars,
+    )
+
+
+def render_test(args, logfolder):
+    scene = load_scene(args)
+    ckpt_path = args.ckpt or f"{logfolder}/{args.expname}.npz"
+    params, static_cfg, dynamic_cfg, aabb, extra = load_checkpoint(ckpt_path)
+    poses_mtx = np.asarray(pose_to_mtx(np.asarray(params["pose"])))
+    focal = extra.get("focal")
+    n_samples = min(args.nSamples, cal_n_samples(static_cfg.grid_size, args.step_ratio))
+    step_size = static_cfg.step_size(aabb)
+    render_chunk = make_chunk_renderer(static_cfg, dynamic_cfg, args.ray_type, n_samples, step_size)
+
+    if args.render_test:
+        os.makedirs(f"{logfolder}/imgs_test_all", exist_ok=True)
+        PSNRs, near_fars, _ = evaluate(
+            render_chunk, params, aabb, poses_mtx, focal, scene, args.ray_type,
+            save_path=f"{logfolder}/imgs_test_all", n_vis=-1,
+            compute_extra_metrics=True,
+        )
+        if PSNRs:
+            print(f"test psnr: {np.mean(PSNRs):.3f}")
+
+    if args.render_path:
+        # pick center-most pose (train.py:499-507)
+        centers = poses_mtx[:, :, 3]
+        mean_c = centers.mean(0)
+        idx_center = int(np.argmin(np.sum((centers - mean_c) ** 2, -1)))
+        sc = 1.0  # scene scale proxy
+        paths = generate_path(poses_mtx[idx_center], focal, sc, scene.n_frames)
+        for name, (poses_p, focals_p) in paths.items():
+            change_time = "change" if name in ("fix_view", "change_view_time") else 0.0
+            evaluation_path(
+                render_chunk, params, aabb, poses_p, focals_p, scene, args.ray_type,
+                f"{logfolder}/{name}", change_time=change_time,
+            )
+
+
+def export_mesh(args):
+    from rodynrf_tpu.eval.mesh import export_mesh_from_ckpt
+
+    export_mesh_from_ckpt(args.ckpt, args.ckpt.rsplit(".", 1)[0] + ".ply")
+
+
+if __name__ == "__main__":
+    args = config_parser()
+    np.random.seed(args.seed)
+    print(args)
+
+    if args.export_mesh:
+        export_mesh(args)
+
+    if args.render_only and (args.render_test or args.render_path):
+        render_test(args, os.path.join(args.basedir, args.expname))
+    elif not args.export_mesh:
+        reconstruction(args)
