@@ -1,0 +1,100 @@
+"""Alpha-grid occupancy mask with a time axis.
+
+Functional equivalent of the reference's `AlphaGridMask` + dense-alpha
+machinery (reference: models/tensorBase.py:42-78 sample_alpha,
+564-589 getDenseAlpha, 591-629 updateAlphaMask). The volume is stored
+dense [D, H, W, T]; queries trilinearly sample space and one-hot select the
+nearest time slice, exactly like the reference's grid_sample + one_hot.
+
+Note: the shipped reference configs never trigger the update
+(update_AlphaMask_list = [3e8]); this exists for full API parity and for
+the ray-filtering / compute-alpha paths.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import sample_grid3d
+from .dynamic import normalize_coord
+
+
+class AlphaGridMask(NamedTuple):
+    aabb: jnp.ndarray  # [2, 3]
+    alpha_volume: jnp.ndarray  # [D, H, W, T] float {0, 1}
+
+    @property
+    def t_size(self) -> int:
+        return self.alpha_volume.shape[-1]
+
+    def sample_alpha(self, xyz: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """xyz [N, 3] world coords, t [N] in [-1, 1] -> alpha [N]
+        (reference: tensorBase.py:56-73)."""
+        xyz_n = normalize_coord(xyz, self.aabb)
+        vals = sample_grid3d(self.alpha_volume, xyz_n)  # [N, T]
+        t_int = jnp.round((t + 1.0) / 2.0 * (self.t_size - 1)).astype(jnp.int32)
+        return jnp.take_along_axis(vals, t_int[:, None], axis=1)[:, 0]
+
+
+def max_pool3d_same(vol: jnp.ndarray, k: int = 3) -> jnp.ndarray:
+    """3D max pool, stride 1, same padding, over [D, H, W, T]
+    (reference: tensorBase.py:599-600 F.max_pool3d(ks=3, pad=1, stride=1))."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        vol,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(k, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=[(pad, pad)] * 3 + [(0, 0)],
+    )
+
+
+def update_alpha_mask(alpha: jnp.ndarray, aabb, thres: float):
+    """Dense alpha [X, Y, Z, T] -> (AlphaGridMask, shrunken aabb)
+    (reference: tensorBase.py:591-629).
+
+    The volume axes are transposed X,Y,Z -> Z,Y,X to match the reference's
+    grid_sample layout (alpha.transpose(0, 2)), then max-pooled and
+    thresholded; the new aabb bounds the union of per-time occupied voxels.
+    """
+    gs = alpha.shape[:3]
+    vol = jnp.clip(alpha, 0, 1).transpose(2, 1, 0, 3)  # [Z, Y, X, T]
+    vol = max_pool3d_same(vol, 3)
+    vol = (vol >= thres).astype(jnp.float32)
+
+    aabb = jnp.asarray(aabb)
+    xs = jnp.linspace(aabb[0, 0], aabb[1, 0], gs[0])
+    ys = jnp.linspace(aabb[0, 1], aabb[1, 1], gs[1])
+    zs = jnp.linspace(aabb[0, 2], aabb[1, 2], gs[2])
+    grid = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), -1)  # [X, Y, Z, 3]
+    occupied = jnp.any(vol.transpose(2, 1, 0, 3) > 0.5, axis=-1)  # [X, Y, Z]
+
+    big = jnp.where(occupied[..., None], grid, jnp.inf)
+    small = jnp.where(occupied[..., None], grid, -jnp.inf)
+    xyz_min = jnp.min(big.reshape(-1, 3), axis=0)
+    xyz_max = jnp.max(small.reshape(-1, 3), axis=0)
+    new_aabb = jnp.stack([xyz_min, xyz_max])
+
+    return AlphaGridMask(aabb=aabb, alpha_volume=vol), new_aabb
+
+
+def pack_alpha(mask: AlphaGridMask):
+    """Bit-packed serialization (reference: tensorBase.py:465-469)."""
+    vol = np.asarray(mask.alpha_volume) > 0.5
+    return {
+        "alphaMask.shape": vol.shape,
+        "alphaMask.mask": np.packbits(vol.reshape(-1)),
+        "alphaMask.aabb": np.asarray(mask.aabb),
+    }
+
+
+def unpack_alpha(d) -> AlphaGridMask:
+    shape = tuple(d["alphaMask.shape"])
+    length = int(np.prod(shape))
+    vol = np.unpackbits(d["alphaMask.mask"])[:length].reshape(shape).astype(np.float32)
+    return AlphaGridMask(aabb=jnp.asarray(d["alphaMask.aabb"]), alpha_volume=jnp.asarray(vol))
