@@ -180,8 +180,10 @@ def fusion_block(p, x, skip=None):
     return conv2d(p["out_conv"], x)
 
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# MiDaS DPT normalization (reference: generate_DPT.py:60
+# NormalizeImage(mean=[0.5]*3, std=[0.5]*3))
+IMAGENET_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
+IMAGENET_STD = np.array([0.5, 0.5, 0.5], np.float32)
 
 
 def dpt_forward(params: Dict, image: jnp.ndarray, cfg: DPTConfig = DPT_LARGE) -> jnp.ndarray:

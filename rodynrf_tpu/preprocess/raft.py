@@ -98,9 +98,12 @@ def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray
 
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/2 average pool over trailing spatial dims of [M, H, W]."""
+    """2x2/2 average pool over trailing spatial dims of [M, H, W]; odd
+    trailing rows/cols are dropped (torch avg_pool2d floor semantics)."""
     M, H, W = x.shape
-    return x.reshape(M, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    H2, W2 = H // 2, W // 2
+    x = x[:, : 2 * H2, : 2 * W2]
+    return x.reshape(M, H2, 2, W2, 2).mean(axis=(2, 4))
 
 
 def build_corr_pyramid(fmap1, fmap2, num_levels: int = 4) -> List[jnp.ndarray]:
