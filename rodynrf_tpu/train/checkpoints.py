@@ -210,7 +210,9 @@ def export_th(
     import torch
 
     sd_np = dynamic_state_dict(params, cfg) if dynamic else static_state_dict(params, cfg)
-    state_dict = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    state_dict = {
+        k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in sd_np.items()
+    }
     ckpt = {"kwargs": reference_kwargs(cfg, aabb, poses_mtx, focal), "state_dict": state_dict}
     torch.save(ckpt, path)
 

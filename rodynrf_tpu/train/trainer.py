@@ -110,9 +110,39 @@ class Trainer:
         self.data = jax.tree_util.tree_map(jnp.asarray, scene.device_arrays())
         self.focal_fixed = float(scene.focal if scene.focal is not None else default_focal(W, H))
 
-        self._build_step()
         self.iteration = 0
         self.metrics_history = []
+        if getattr(args, "ckpt", None):
+            self._resume(args.ckpt)
+        self._build_step()
+
+    def _resume(self, ckpt_path: str):
+        """Resume training from a native checkpoint.
+
+        The reference restores only the dynamic model and restarts the
+        static model/optimizers/iteration (train.py:896-901); the native
+        .npz carries the full state, so we restore all params, grid sizes,
+        and the iteration, replaying the LR/upsample schedule to that point.
+        """
+        from .checkpoints import load_checkpoint
+
+        params, static_cfg, dynamic_cfg, aabb, extra = load_checkpoint(ckpt_path)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.static_cfg = static_cfg
+        self.dynamic_cfg = dynamic_cfg
+        self.aabb = jnp.asarray(aabb)
+        self.iteration = int(extra.get("iteration", 0))
+        self.n_samples = min(
+            self.args.nSamples, cal_n_samples(static_cfg.grid_size, self.args.step_ratio)
+        )
+        self.opt_state = init_opt_state(self.params)
+        # replay schedule arithmetic up to the resumed iteration
+        for i in range(self.iteration):
+            self.schedule.after_step(i)
+            if (i + 1) in self.args.upsamp_list:
+                if self.n_voxel_list:
+                    self.n_voxel_list.pop(0)
+                self.schedule.on_upsample(i + 1)
 
     # ------------------------------------------------------------------
     def _statics(self) -> StepStatics:
