@@ -39,14 +39,15 @@ def main():
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
 
-    # Nvidia-config-shaped workload: batch 1024, 128^3 grid (the config's
-    # N_voxel_init, configs/Nvidia.txt), full pose+focal optimization.
+    # Nvidia-config steady state: batch 1024, 300^3 grid (the schedule's
+    # final resolution, where >75% of the reference's 100k iterations run),
+    # full pose+focal optimization.
     T, H, W = 12, 270, 480
     batch = 1024
     args = parse_cmd(
         f"--expname bench --datadir none --dataset_name synthetic "
         f"--n_iters 100000 --batch_size {batch} --N_voxel_t {T} "
-        f"--N_voxel_init {128**3} --N_voxel_final {300**3} "
+        f"--N_voxel_init {300**3} --N_voxel_final {300**3} "
         f"--upsamp_list 8000 --upsamp_list 12000 --upsamp_list 16000 --upsamp_list 22000 "
         f"--step_ratio 2.0 --ray_type ndc "
         f"--model_name TensorVMSplit_TimeEmbedding --shadingMode MLP_Fea_late_view "

@@ -117,6 +117,16 @@ def reconstruction(args):
             )
             for k, v in host.items():
                 writer.add_scalar(f"train/{k}", v, it)
+            # pose diagnostics vs GT (reference: train.py:2365-2415 logs
+            # Procrustes-aligned camera errors)
+            if args.with_GT_poses and args.optimize_poses and scene.poses is not None:
+                from rodynrf_tpu.core.se3 import evaluate_camera_alignment, prealign_cameras
+
+                poses_now = pose_to_mtx(trainer.params["pose"])
+                aligned, _ = prealign_cameras(poses_now, np.asarray(scene.poses))
+                R_err, t_err = evaluate_camera_alignment(aligned, np.asarray(scene.poses))
+                writer.add_scalar("train/pose_R_error_deg", float(np.mean(R_err)) * 180 / np.pi, it)
+                writer.add_scalar("train/pose_t_error", float(np.mean(t_err)), it)
         if (it + 1) % 10000 == 0:
             _save_ckpts(trainer, logfolder, args.expname)
 
