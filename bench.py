@@ -77,12 +77,48 @@ def main():
 
     steps_per_sec = iters / dt
     rays_per_sec = steps_per_sec * batch
+
+    # render-path throughput (BASELINE.md metric (b)): eval-mode dual-field
+    # chunk renderer, chunk 8192 (reference renders eval at chunk 512,
+    # renderer.py:732)
+    import jax.numpy as jnp
+    from rodynrf_tpu.render.renderer import make_chunk_renderer
+
+    chunk = 8192
+    render_chunk = jax.jit(
+        make_chunk_renderer(
+            trainer.static_cfg, trainer.dynamic_cfg, args.ray_type, trainer.n_samples,
+            trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
+        )
+    )
+    params_r = {"static": trainer.params["static"], "dynamic": trainer.params["dynamic"]}
+    rng = np.random.default_rng(0)
+    rays = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-0.5, 0.5, (chunk, 3)),
+                rng.uniform(0.3, 1.0, (chunk, 3)) * np.array([0.3, 0.3, 1.0]),
+            ],
+            -1,
+        ),
+        jnp.float32,
+    )
+    ts = jnp.asarray(rng.uniform(-1, 1, (chunk,)), jnp.float32)
+    out = render_chunk(params_r, trainer.aabb, rays, ts)
+    jax.block_until_ready(out.rgb)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = render_chunk(params_r, trainer.aabb, rays, ts)
+    jax.block_until_ready(out.rgb)
+    render_rays_per_sec = 10 * chunk / (time.perf_counter() - t0)
+
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC_A100, 3),
         "steps_per_sec": round(steps_per_sec, 3),
+        "render_rays_per_sec": round(render_rays_per_sec, 1),
         "batch_size": batch,
         "n_samples": trainer.n_samples,
         "grid": list(trainer.static_cfg.grid_size),
