@@ -9,7 +9,7 @@ as host numpy arrays in flat `(T*H*W, C)` layout for training and stacked
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np

@@ -18,12 +18,10 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Optional
-
 import numpy as np
 from PIL import Image
 
-from .llff import center_poses, get_spiral, resize_flow
+from .llff import center_poses, resize_flow
 from .scene import SceneData, default_bbox
 
 

@@ -18,7 +18,7 @@ from PIL import Image
 
 from ..render.renderer import render_image
 from .metrics import psnr as psnr_fn
-from .metrics import rgb_lpips, rgb_ssim, visualize_depth_numpy
+from .metrics import rgb_lpips, rgb_ssim
 
 
 def write_video(path: str, frames: List[np.ndarray], fps: int = 30):

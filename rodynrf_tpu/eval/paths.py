@@ -9,7 +9,7 @@ dolly, zoom, spiral, fix_view, change_view_time.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -28,7 +28,7 @@ from ..ops.grid_sample import sample_vm
 from ..ops.regularizers import tv_loss_vm, vm_outer_l1
 from .config import FieldConfig
 from .mlps import linear, linear_init, mlp_apply, mlp_init, init_shading
-from .static import VM_SCALE, feature2density, init_vm, upsample_vm
+from .static import feature2density, init_vm, upsample_vm
 
 MULTISCALE_STRIDES = (1, 2, 4)
 

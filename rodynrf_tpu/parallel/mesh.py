@@ -15,8 +15,6 @@ step rides ICI. FSDP-style sharding of the grids is a stretch goal for the
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -21,8 +21,7 @@ cnet batch-norm running stats (inference mode).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,7 @@ last partial chunk is padded, keeping a single compiled executable.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

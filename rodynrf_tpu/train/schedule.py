@@ -8,7 +8,7 @@ per-iteration scalars handed to the jitted step — the step never retraces.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List
 
 import numpy as np

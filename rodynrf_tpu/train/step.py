@@ -24,10 +24,8 @@ never retraces (train/schedule.py computes them).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -239,7 +237,7 @@ def train_loss(
     # novel-time distortion (train.py:1299-1311)
     if wts.distortion_dynamic > 0:
         nS = outB.weights_d.shape[1]
-        dist_rand = eff_distloss(outB.weights_d, sg(outB.z_vals if hasattr(outB, "z_vals") else dnB.z_vals), 1.0 / nS)
+        dist_rand = eff_distloss(outB.weights_d, sg(dnB.z_vals), 1.0 / nS)
         total += dist_rand * wts.distortion_dynamic * (it / S.n_iters)
         metrics["loss_distortion_rand"] = dist_rand
 

@@ -8,7 +8,6 @@ handles the ≤7 upsample recompiles.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Dict, Optional
 
