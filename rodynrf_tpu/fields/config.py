@@ -33,6 +33,15 @@ class FieldConfig:
     view_pe: int = 6
     fea_pe: int = 6
     featureC: int = 128
+    # 'bfloat16' halves texture-gather traffic / VMEM footprint (lerp stays
+    # f32); 'float32' is bit-exact with the reference
+    grid_sample_dtype: str = "float32"
+
+    @property
+    def gather_dtype(self):
+        import jax.numpy as jnp
+
+        return None if self.grid_sample_dtype == "float32" else jnp.dtype(self.grid_sample_dtype)
 
     def with_grid(self, grid_size) -> "FieldConfig":
         return dataclasses.replace(self, grid_size=tuple(int(g) for g in grid_size))

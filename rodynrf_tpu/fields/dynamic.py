@@ -114,7 +114,8 @@ def density_feature(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n) -> jnp.nda
     coords (computed once by the caller); t: [N]. Returns [N].
     """
     feats = sample_vm(
-        params["density_plane"], params["density_line"], xyz_warped_n, strides=MULTISCALE_STRIDES
+        params["density_plane"], params["density_line"], xyz_warped_n,
+        strides=MULTISCALE_STRIDES, gather_dtype=cfg.gather_dtype,
     )
     out = mlp_apply(params["density_head"], _head_inputs(feats, xyz_n, t))
     return out[..., 0]
@@ -123,7 +124,8 @@ def density_feature(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n) -> jnp.nda
 def blending_feature(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n) -> jnp.ndarray:
     """(reference: tensoRF.py:543-629). Returns raw (pre-sigmoid) [N]."""
     feats = sample_vm(
-        params["blending_plane"], params["blending_line"], xyz_warped_n, strides=MULTISCALE_STRIDES
+        params["blending_plane"], params["blending_line"], xyz_warped_n,
+        strides=MULTISCALE_STRIDES, gather_dtype=cfg.gather_dtype,
     )
     out = mlp_apply(params["blending_head"], _head_inputs(feats, xyz_n, t))
     return out[..., 0]
@@ -132,7 +134,8 @@ def blending_feature(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n) -> jnp.nd
 def app_feature(params, cfg: FieldConfig, xyz_warped_n) -> jnp.ndarray:
     """(reference: tensoRF.py:734-811). Returns [N, app_dim]."""
     feats = sample_vm(
-        params["app_plane"], params["app_line"], xyz_warped_n, strides=MULTISCALE_STRIDES
+        params["app_plane"], params["app_line"], xyz_warped_n,
+        strides=MULTISCALE_STRIDES, gather_dtype=cfg.gather_dtype,
     )
     return feats @ params["basis_mat"]
 

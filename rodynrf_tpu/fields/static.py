@@ -65,14 +65,18 @@ def init_static_field(key: jax.Array, cfg: FieldConfig):
     }
 
 
-def density_feature(params, xyz_n: jnp.ndarray) -> jnp.ndarray:
+def density_feature(params, xyz_n: jnp.ndarray, gather_dtype=None) -> jnp.ndarray:
     """Σ plane⊙line density (reference: tensoRF.py:118-154). xyz_n [N,3]->[N]."""
-    return sample_vm_sum(params["density_plane"], params["density_line"], xyz_n)
+    return sample_vm_sum(
+        params["density_plane"], params["density_line"], xyz_n, gather_dtype=gather_dtype
+    )
 
 
-def app_feature(params, xyz_n: jnp.ndarray) -> jnp.ndarray:
+def app_feature(params, xyz_n: jnp.ndarray, gather_dtype=None) -> jnp.ndarray:
     """Appearance features via basis matrix (reference: tensoRF.py:156-196)."""
-    feats = sample_vm(params["app_plane"], params["app_line"], xyz_n, strides=(1,))
+    feats = sample_vm(
+        params["app_plane"], params["app_line"], xyz_n, strides=(1,), gather_dtype=gather_dtype
+    )
     return feats @ params["basis_mat"]
 
 

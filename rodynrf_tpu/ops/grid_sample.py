@@ -47,23 +47,29 @@ def _strided_len(n: int, stride: int) -> int:
     return (n + stride - 1) // stride
 
 
-def sample_plane(plane: jnp.ndarray, xy: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+def sample_plane(
+    plane: jnp.ndarray, xy: jnp.ndarray, stride: int = 1, gather_dtype=None
+) -> jnp.ndarray:
     """Sample a [C, H, W] plane at xy (N, 2) = (x, y) in [-1, 1] -> (N, C).
 
     ``x`` indexes the W axis, ``y`` the H axis (torch grid convention).
     ``stride`` samples the virtual grid ``plane[:, ::stride, ::stride]``.
+    ``gather_dtype`` (e.g. bfloat16) casts the texture before the gather —
+    halves gather traffic / VMEM footprint; interpolation stays f32.
     """
     C, H, W = plane.shape
     Hs, Ws = _strided_len(H, stride), _strided_len(W, stride)
     x0, x1, wx, ibx0, ibx1 = _lerp_weights_1d(xy[:, 0], Ws)
     y0, y1, wy, iby0, iby1 = _lerp_weights_1d(xy[:, 1], Hs)
 
+    if gather_dtype is not None:
+        plane = plane.astype(gather_dtype)
     flat = plane.reshape(C, H * W).T  # [H*W, C] channel-last gather
     s = stride
 
     def corner(yi, xi, ib):
         idx = yi * s * W + xi * s
-        vals = jnp.take(flat, idx, axis=0)  # [N, C]
+        vals = jnp.take(flat, idx, axis=0).astype(jnp.float32)  # [N, C]
         return vals * ib[:, None]
 
     w00 = (1 - wy) * (1 - wx)
@@ -99,7 +105,7 @@ MAT_MODE = ((0, 1), (0, 2), (1, 2))
 VEC_MODE = (2, 1, 0)
 
 
-def sample_vm(planes, lines, xyz: jnp.ndarray, strides=(1,)) -> jnp.ndarray:
+def sample_vm(planes, lines, xyz: jnp.ndarray, strides=(1,), gather_dtype=None) -> jnp.ndarray:
     """Fused VM (plane ⊙ line) feature sampling.
 
     planes: list of 3 arrays [C_i, H_i, W_i]; lines: list of 3 arrays [C_i, L_i];
@@ -113,20 +119,20 @@ def sample_vm(planes, lines, xyz: jnp.ndarray, strides=(1,)) -> jnp.ndarray:
         for i in range(3):
             m0, m1 = MAT_MODE[i]
             v = VEC_MODE[i]
-            p = sample_plane(planes[i], xyz[:, (m0, m1)], stride=s)
+            p = sample_plane(planes[i], xyz[:, (m0, m1)], stride=s, gather_dtype=gather_dtype)
             l = sample_line(lines[i], xyz[:, v], stride=s)
             feats.append(p * l)
     return jnp.concatenate(feats, axis=-1)
 
 
-def sample_vm_sum(planes, lines, xyz: jnp.ndarray) -> jnp.ndarray:
+def sample_vm_sum(planes, lines, xyz: jnp.ndarray, gather_dtype=None) -> jnp.ndarray:
     """Σ_axes Σ_channels plane ⊙ line — the static density evaluation
     (reference: tensoRF.py:118-154). Returns (N,)."""
     total = jnp.zeros(xyz.shape[0], xyz.dtype)
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         v = VEC_MODE[i]
-        p = sample_plane(planes[i], xyz[:, (m0, m1)])
+        p = sample_plane(planes[i], xyz[:, (m0, m1)], gather_dtype=gather_dtype)
         l = sample_line(lines[i], xyz[:, v])
         total = total + jnp.sum(p * l, axis=-1)
     return total

@@ -64,13 +64,13 @@ def eval_static_field(
     xyz_n = dyn.normalize_coord(xyz, aabb)
     flat = xyz_n.reshape(-1, 3)
 
-    sigma_feat = stat.density_feature(params, flat).reshape(R, S)
+    sigma_feat = stat.density_feature(params, flat, cfg.gather_dtype).reshape(R, S)
     sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
 
     _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
     app_mask = weight > cfg.ray_march_weight_thres
 
-    app_feats = stat.app_feature(params, flat)
+    app_feats = stat.app_feature(params, flat, cfg.gather_dtype)
     vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
     t_in = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1, 1)
     rgb_raw = apply_shading(

@@ -137,3 +137,22 @@ def test_vm_outer_l1_matches_dense():
 def test_line_orthogonality_zero_for_orthogonal():
     lines = [jnp.eye(4) * 3.0]
     assert float(line_orthogonality(lines)) < 1e-6
+
+
+def test_sample_vm_sum_fused_matches_unfused():
+    from rodynrf_tpu.ops import sample_vm_sum_fused
+    from rodynrf_tpu.ops.grid_sample import sample_vm
+
+    gs = (7, 9, 11)
+    n_comp = (4, 2, 2)
+    mat_mode = ((0, 1), (0, 2), (1, 2))
+    vec_mode = (2, 1, 0)
+    planes = [
+        jnp.asarray(RNG.standard_normal((n_comp[i], gs[mat_mode[i][1]], gs[mat_mode[i][0]])), jnp.float32)
+        for i in range(3)
+    ]
+    lines = [jnp.asarray(RNG.standard_normal((n_comp[i], gs[vec_mode[i]])), jnp.float32) for i in range(3)]
+    xyz = jnp.asarray(RNG.uniform(-1.1, 1.1, (64, 3)), jnp.float32)
+    fused = sample_vm_sum_fused(planes, lines, xyz, strides=(1, 2))
+    ref = jnp.sum(sample_vm(planes, lines, xyz, strides=(1, 2)), axis=-1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
