@@ -90,6 +90,40 @@ def _save_ckpts(trainer, logfolder, expname):
             print(f"[warn] .th export skipped: {e}")
 
 
+def _tb_vis_images(trainer, scene, args, writer, it):
+    """Render a few test views into TensorBoard (reference: train.py:2428-2580
+    logs rgb/depth/blending image grids every vis_train_every iterations)."""
+    from rodynrf_tpu.eval.metrics import visualize_depth_numpy
+
+    poses_mtx, focal = _current_cameras(trainer)
+    render_chunk = make_chunk_renderer(
+        trainer.static_cfg, trainer.dynamic_cfg, args.ray_type, trainer.n_samples,
+        trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
+    )
+    from rodynrf_tpu.render.renderer import render_image
+
+    n_vis = min(args.N_vis if args.N_vis > 0 else scene.n_frames, scene.n_frames)
+    idxs = np.linspace(0, scene.n_frames - 1, n_vis).astype(int)
+    ts = np.linspace(-1, 1, scene.n_frames) if scene.n_frames > 1 else np.zeros(1)
+    params = {"static": trainer.params["static"], "dynamic": trainer.params["dynamic"]}
+    rgbs, depths, blendings = [], [], []
+    for i in idxs:
+        maps = render_image(
+            render_chunk, params, trainer.aabb, poses_mtx[i], focal, float(ts[i]),
+            trainer.H, trainer.W, args.ray_type,
+        )
+        rgbs.append(maps["rgb"])
+        depths.append(visualize_depth_numpy(maps["depth"])[0] / 255.0)
+        blendings.append(np.repeat(maps["blending"][..., None], 3, -1))
+    writer.add_images("test/rgb_maps", np.stack(rgbs), global_step=it, dataformats="NHWC")
+    writer.add_images("test/depth_map", np.stack(depths), global_step=it, dataformats="NHWC")
+    writer.add_images("test/blending_maps", np.stack(blendings), global_step=it, dataformats="NHWC")
+    if scene.rgbs_stack is not None:
+        writer.add_images(
+            "test/gt_maps", scene.rgbs_stack[idxs], global_step=it, dataformats="NHWC"
+        )
+
+
 def reconstruction(args):
     scene = load_scene(args)
     logfolder = f"{args.basedir}/{args.expname}"
@@ -130,6 +164,13 @@ def reconstruction(args):
         if (it + 1) % 10000 == 0:
             _save_ckpts(trainer, logfolder, args.expname)
 
+        # train-time TB visualization (reference: train.py:2428-2580)
+        if args.N_vis != 0 and (it + 1) % args.vis_train_every == 0:
+            try:
+                _tb_vis_images(trainer, scene, args, writer, it)
+            except Exception as e:
+                print(f"[warn] TB vis failed: {e}")
+
     _save_ckpts(trainer, logfolder, args.expname)
 
     # final evaluation (train.py:2623-2641)
@@ -162,7 +203,8 @@ def render_test(args, logfolder):
     step_size = static_cfg.step_size(aabb)
     render_chunk = make_chunk_renderer(static_cfg, dynamic_cfg, args.ray_type, n_samples, step_size)
 
-    if args.render_test:
+    near_fars = None
+    if args.render_test or args.render_train:
         os.makedirs(f"{logfolder}/imgs_test_all", exist_ok=True)
         PSNRs, near_fars, _ = evaluate(
             render_chunk, params, aabb, poses_mtx, focal, scene, args.ray_type,
@@ -177,7 +219,13 @@ def render_test(args, logfolder):
         centers = poses_mtx[:, :, 3]
         mean_c = centers.mean(0)
         idx_center = int(np.argmin(np.sum((centers - mean_c) ** 2, -1)))
-        sc = 1.0  # scene scale proxy
+        if near_fars is None:
+            _, near_fars, _ = evaluate(
+                render_chunk, params, aabb, poses_mtx, focal, scene, args.ray_type,
+                save_path=None, n_vis=-1,
+            )
+        # scene scale from rendered near bound (train.py:509)
+        sc = float(near_fars[idx_center][0]) * 0.75
         paths = generate_path(poses_mtx[idx_center], focal, sc, scene.n_frames)
         for name, (poses_p, focals_p) in paths.items():
             change_time = "change" if name in ("fix_view", "change_view_time") else 0.0
