@@ -76,7 +76,8 @@ def test_alpha_mask_roundtrip_and_sampling():
     t = jnp.asarray(rng.uniform(-1, 1, 50).astype(np.float32))
     vals = mask.sample_alpha(xyz, t)
     assert vals.shape == (50,)
-    assert np.all((np.asarray(vals) >= 0) & (np.asarray(vals) <= 1))
+    eps = 1e-5  # trilinear lerp of {0,1} can overshoot by float rounding
+    assert np.all((np.asarray(vals) >= -eps) & (np.asarray(vals) <= 1 + eps))
 
     packed = pack_alpha(mask)
     mask2 = unpack_alpha(packed)
