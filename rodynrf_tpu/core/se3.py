@@ -324,3 +324,51 @@ def get_novel_view_poses(pose_anchor: jnp.ndarray, N: int = 60, scale: float = 1
     pose_shift2 = make_pose(t=jnp.array([0.0, 0.0, -4.0 * scale]))
     pose_oscil = pose_compose([pose_shift, pose_rot, pose_shift2])
     return pose_compose([pose_oscil, pose_anchor[None]])
+
+
+@f32_matmul
+def img2cam(X: jnp.ndarray, cam_intr: jnp.ndarray) -> jnp.ndarray:
+    """(reference: camera.py:290-291)."""
+    return X @ jnp.swapaxes(jnp.linalg.inv(cam_intr), -1, -2)
+
+
+@f32_matmul
+def get_center_and_ray(H: int, W: int, pose: jnp.ndarray, intr: jnp.ndarray):
+    """Camera centers + per-pixel rays in world space for a batch of poses
+    (reference: camera.py:317-335). pose [B,3,4], intr [B,3,3] ->
+    (center [B,HW,3], ray [B,HW,3])."""
+    y = jnp.arange(H, dtype=jnp.float32) + 0.5
+    x = jnp.arange(W, dtype=jnp.float32) + 0.5
+    Y, X = jnp.meshgrid(y, x, indexing="ij")
+    xy = jnp.stack([X, Y], -1).reshape(-1, 2)  # [HW, 2]
+    B = pose.shape[0]
+    xy = jnp.broadcast_to(xy[None], (B, *xy.shape))
+    grid_3d = img2cam(to_hom(xy), intr)
+    center_3d = jnp.zeros_like(grid_3d)
+    grid_3d = cam2world(grid_3d, pose)
+    center_3d = cam2world(center_3d, pose)
+    return center_3d, grid_3d - center_3d
+
+
+def get_3d_points_from_depth(center, ray, depth, multi_samples: bool = False):
+    """x = c + d*v (reference: camera.py:338-343)."""
+    if multi_samples:
+        center, ray = center[:, :, None], ray[:, :, None]
+    return center + ray * depth
+
+
+def convert_ndc(center, ray, intr, near: float = 1.0):
+    """Shift ray origins to the near plane and project to NDC — the +z-facing
+    convention variant (reference: camera.py:346-363)."""
+    center = center + (near - center[..., 2:]) / ray[..., 2:] * ray
+    cx, cy, cz = center[..., 0], center[..., 1], center[..., 2]
+    rx, ry, rz = ray[..., 0], ray[..., 1], ray[..., 2]
+    scale_x = intr[:, 0, 0] / intr[:, 0, 2]
+    scale_y = intr[:, 1, 1] / intr[:, 1, 2]
+    cnx = scale_x[:, None] * (cx / cz)
+    cny = scale_y[:, None] * (cy / cz)
+    cnz = 1.0 - 2.0 * near / cz
+    rnx = scale_x[:, None] * (rx / rz - cx / cz)
+    rny = scale_y[:, None] * (ry / rz - cy / cz)
+    rnz = 2.0 * near / cz
+    return jnp.stack([cnx, cny, cnz], -1), jnp.stack([rnx, rny, rnz], -1)
