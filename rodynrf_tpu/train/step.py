@@ -84,6 +84,11 @@ class StepStatics:
     lr_factor: float = 1.0  # per-iteration TV-weight decay (train.py:1735, 1748)
     weights: LossWeights = LossWeights()
     step_size: float = 0.01  # world-sampler march step
+    # rematerialize field evaluations in the backward pass: recomputes each
+    # pass's field internals instead of storing ~7 passes of [B*S, 64+]
+    # activations — required to fit the 640³ schedule in HBM, ~free when
+    # gather-bound
+    remat: bool = True
 
 
 def focal_from_fov(fov: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
@@ -132,20 +137,27 @@ def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bo
         rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k_samp
     )
 
-    def run_static(p):
+    def run_static(p, rays_, xyz_):
         return eval_static_field(
-            p, S.static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, S.ray_type
+            p, S.static_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type
         )
 
+    def run_dynamic(p, rays_, xyz_):
+        return eval_dynamic_field(
+            p, S.dynamic_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type
+        )
+
+    if S.remat:
+        run_static = jax.checkpoint(run_static)
+        run_dynamic = jax.checkpoint(run_dynamic)
+
     if detach_static:
-        st = run_static(sg(params["static"]))
+        st = run_static(sg(params["static"]), sg(rays), sg(xyz))
         st = jax.tree_util.tree_map(sg, st)
     else:
-        st = run_static(params["static"])
+        st = run_static(params["static"], rays, xyz)
 
-    dn = eval_dynamic_field(
-        params["dynamic"], S.dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, S.ray_type
-    )
+    dn = run_dynamic(params["dynamic"], rays, xyz)
 
     out = raw2outputs(
         st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
@@ -422,7 +434,8 @@ def train_loss(
         xyz_f, zv_f, rv_f = sample_xyz(
             rays_f_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5a
         )
-        stFF = eval_static_field(
+        eval_static_r = jax.checkpoint(eval_static_field, static_argnums=(1, 8)) if S.remat else eval_static_field
+        stFF = eval_static_r(
             params["static"], S.static_cfg, aabb, rays_f_nd, ts_train, xyz_f, zv_f, rv_f, S.ray_type
         )
         _, induced_disp_s_ff = induce_flow(
@@ -437,7 +450,7 @@ def train_loss(
         xyz_b, zv_b, rv_b = sample_xyz(
             rays_b_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5b
         )
-        stBB = eval_static_field(
+        stBB = eval_static_r(
             params["static"], S.static_cfg, aabb, rays_b_nd, ts_train, xyz_b, zv_b, rv_b, S.ray_type
         )
         _, induced_disp_s_bb = induce_flow(
