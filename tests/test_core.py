@@ -166,3 +166,30 @@ def test_ndc_rays_origin_on_near_plane():
     assert np.all(np.isfinite(np.asarray(o_ndc)))
     # z-component of origin: 1 + 2*1/oz with oz = -1 (shifted to near plane) -> -1
     np.testing.assert_allclose(np.asarray(o_ndc[:, 2]), -np.ones(10), atol=1e-5)
+
+
+def test_get_center_and_ray_and_convert_ndc():
+    from rodynrf_tpu.core import get_center_and_ray, convert_ndc, make_pose
+
+    intr = jnp.asarray(np.array([[[100.0, 0, 16], [0, 100.0, 12], [0, 0, 1]]], np.float32))
+    pose = make_pose(jnp.eye(3), jnp.zeros(3))[None]
+    c, r = get_center_and_ray(24, 32, pose, intr)
+    assert c.shape == (1, 24 * 32, 3) and r.shape == c.shape
+    # center is the camera origin (identity pose -> 0)
+    np.testing.assert_allclose(np.asarray(c), np.zeros_like(c), atol=1e-5)
+    # rays through the principal point are +z
+    center_ray = np.asarray(r[0]).reshape(24, 32, 3)[12, 16]
+    np.testing.assert_allclose(center_ray[:2], [0, 0], atol=0.02)
+    # convert_ndc maps near-plane origins to z = -1
+    c2 = c + jnp.array([0.0, 0.0, 2.0])
+    cn, rn = convert_ndc(c2, r, intr, near=1.0)
+    np.testing.assert_allclose(np.asarray(cn[..., 2]), -np.ones((1, 24 * 32)), atol=1e-5)
+
+
+def test_get_3d_points_from_depth():
+    from rodynrf_tpu.core import get_3d_points_from_depth
+
+    center = jnp.zeros((2, 4, 3))
+    ray = jnp.ones((2, 4, 3))
+    pts = get_3d_points_from_depth(center, ray, 2.5 * jnp.ones((2, 4, 1)))
+    np.testing.assert_allclose(np.asarray(pts), 2.5 * np.ones((2, 4, 3)))

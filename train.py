@@ -182,6 +182,7 @@ def reconstruction(args):
     PSNRs, near_fars, _ = evaluate(
         render_chunk, trainer.params, trainer.aabb, poses_mtx, focal, scene,
         args.ray_type, save_path=f"{logfolder}/imgs_test_all", n_vis=-1,
+        compute_extra_metrics=True,  # PSNR+SSIM(+LPIPS if available), train.py:2624
     )
     if PSNRs:
         print(f"======> {args.expname} train all psnr: {np.mean(PSNRs)} <========")
