@@ -110,6 +110,20 @@ class Trainer:
         self.data = jax.tree_util.tree_map(jnp.asarray, scene.device_arrays())
         self.focal_fixed = float(scene.focal if scene.focal is not None else default_focal(W, H))
 
+        # data-parallel placement over rays (parallel/mesh.py): params and
+        # dataset replicated, ray batches sharded; no-op on one device
+        n_dev = args.n_devices if args.n_devices > 0 else jax.device_count()
+        self.mesh = None
+        if n_dev > 1:
+            if args.batch_size % n_dev:
+                raise ValueError(f"batch_size {args.batch_size} must divide n_devices {n_dev}")
+            from ..parallel import make_mesh, shard_train_inputs
+
+            self.mesh = make_mesh(n_dev)
+            self.params, self.opt_state, self.aabb, self.data = shard_train_inputs(
+                self.mesh, self.params, self.opt_state, self.aabb, self.data
+            )
+
         self.iteration = 0
         self.metrics_history = []
         if getattr(args, "ckpt", None):
@@ -186,6 +200,11 @@ class Trainer:
         i = self.iteration
         ray_idx = jnp.asarray(self.sampler.nextids())
         ray_idx_rand = jnp.asarray(self.sampler2.nextids())
+        if self.mesh is not None:
+            from ..parallel import shard_batch_indices
+
+            ray_idx = shard_batch_indices(self.mesh, ray_idx)
+            ray_idx_rand = shard_batch_indices(self.mesh, ray_idx_rand)
         self.key, sub = jax.random.split(self.key)
         sc = {
             "iteration": jnp.asarray(i, jnp.int32),

@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin can override the JAX_PLATFORMS env var; the config API
+# takes precedence, so force the CPU platform explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # full-precision matmuls for numerical checks in test bodies
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -33,8 +33,13 @@ def test_multichip_matches_single_chip_loss():
         "lr_focal": jnp.asarray(0.0, jnp.float32),
     }
 
+    # non-donating step so params can be fed to both executions
+    from rodynrf_tpu.train.step import make_train_step
+
+    step_fn = make_train_step(tr._statics(), donate=False)
+
     # single device
-    _, _, m1 = tr.step_fn(
+    _, _, m1 = step_fn(
         tr.params, tr.opt_state, tr.aabb, tr.data, ray_idx, ray_idx_rand, key, sc
     )
     loss1 = float(m1["total_loss"])
@@ -47,7 +52,7 @@ def test_multichip_matches_single_chip_loss():
     idx_sharded = shard_batch_indices(mesh, ray_idx)
     idx_rand_sharded = shard_batch_indices(mesh, ray_idx_rand)
     with mesh:
-        new_params, _, m8 = tr.step_fn(
+        new_params, _, m8 = step_fn(
             params, opt_state, aabb, data, idx_sharded, idx_rand_sharded, key, sc
         )
     loss8 = float(m8["total_loss"])

@@ -194,12 +194,57 @@ def reconstruction(args):
     )
 
 
+def _load_reference_th_pair(ckpt_path):
+    """Load a reference-format checkpoint pair ({exp}.th + {exp}_static.th)
+    into our params/configs (the reference render path, train.py:435-449).
+
+    The optimized poses/focal travel inside the kwargs of both files
+    (tensorBase.py:460-463)."""
+    from rodynrf_tpu.train.checkpoints import import_th
+    from rodynrf_tpu.fields.config import FieldConfig
+
+    dyn_params, dyn_meta = import_th(ckpt_path)
+    static_path = ckpt_path.replace(".th", "_static.th")
+    stat_params, stat_meta = import_th(static_path)
+
+    def cfg_from_kwargs(kw):
+        return FieldConfig(
+            grid_size=tuple(int(g) for g in kw["gridSize"]),
+            t_size=int(kw["tSize"]),
+            density_n_comp=tuple(kw["density_n_comp"]),
+            app_n_comp=tuple(kw["appearance_n_comp"]),
+            app_dim=int(kw["app_dim"]),
+            shading_mode=kw["shadingMode"],
+            density_shift=float(kw["density_shift"]),
+            alpha_mask_thres=float(kw["alphaMask_thres"]),
+            distance_scale=float(kw["distance_scale"]),
+            ray_march_weight_thres=float(kw["rayMarch_weight_thres"]),
+            fea2dense_act=kw["fea2denseAct"],
+            near_far=tuple(float(x) for x in kw["near_far"]),
+            step_ratio=float(kw["step_ratio"]),
+            pos_pe=int(kw["pos_pe"]),
+            view_pe=int(kw["view_pe"]),
+            fea_pe=int(kw["fea_pe"]),
+            featureC=int(kw["featureC"]),
+        )
+
+    kw = dyn_meta["kwargs"]
+    aabb = np.asarray(kw["aabb"], np.float32)
+    poses_mtx = np.asarray(kw["se3_poses"], np.float32)
+    focal = float(np.asarray(kw["focal_ratio_refine"]))
+    params = {"static": stat_params, "dynamic": dyn_params}
+    return params, cfg_from_kwargs(stat_meta["kwargs"]), cfg_from_kwargs(kw), aabb, poses_mtx, focal
+
+
 def render_test(args, logfolder):
     scene = load_scene(args)
     ckpt_path = args.ckpt or f"{logfolder}/{args.expname}.npz"
-    params, static_cfg, dynamic_cfg, aabb, extra = load_checkpoint(ckpt_path)
-    poses_mtx = np.asarray(pose_to_mtx(np.asarray(params["pose"])))
-    focal = extra.get("focal")
+    if ckpt_path.endswith(".th"):
+        params, static_cfg, dynamic_cfg, aabb, poses_mtx, focal = _load_reference_th_pair(ckpt_path)
+    else:
+        params, static_cfg, dynamic_cfg, aabb, extra = load_checkpoint(ckpt_path)
+        poses_mtx = np.asarray(pose_to_mtx(np.asarray(params["pose"])))
+        focal = extra.get("focal")
     n_samples = min(args.nSamples, cal_n_samples(static_cfg.grid_size, args.step_ratio))
     step_size = static_cfg.step_size(aabb)
     render_chunk = make_chunk_renderer(static_cfg, dynamic_cfg, args.ray_type, n_samples, step_size)
