@@ -20,12 +20,16 @@ from ..core.spaces import contract
 
 
 def sample_ray_ndc(
-    rays_o, rays_d, near: float, far: float, n_samples: int, aabb, key: Optional[jax.Array]
+    rays_o, rays_d, near: float, far: float, n_samples: int, aabb,
+    key: Optional[jax.Array], det_jitter: bool = False,
 ):
     """Uniform z in [near, far]; jitter shared across rays (reference:
-    tensorBase.py:487-499)."""
+    tensorBase.py:487-499). det_jitter=True applies the constant 0.5 jitter
+    of golden-comparison mode (torch.rand patched to 0.5 on the torch side)."""
     interpx = jnp.linspace(near, far, n_samples)[None]  # [1, S]
-    if key is not None:
+    if det_jitter:
+        interpx = interpx + 0.5 * ((far - near) / n_samples)
+    elif key is not None:
         interpx = interpx + jax.random.uniform(key, interpx.shape) * ((far - near) / n_samples)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * interpx[..., None]
     inb = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
@@ -35,7 +39,7 @@ def sample_ray_ndc(
 
 def sample_ray_world(
     rays_o, rays_d, near: float, far: float, n_samples: int, aabb, step_size: float,
-    key: Optional[jax.Array],
+    key: Optional[jax.Array], det_jitter: bool = False,
 ):
     """World-space AABB march (reference: tensorBase.py:501-522)."""
     vec = jnp.where(rays_d == 0, 1e-6, rays_d)
@@ -44,7 +48,9 @@ def sample_ray_world(
     t_min = jnp.clip(jnp.minimum(rate_a, rate_b).max(-1), near, far)
 
     rng = jnp.arange(n_samples, dtype=jnp.float32)[None]  # [1, S]
-    if key is not None:
+    if det_jitter:
+        rng = rng + 0.5
+    elif key is not None:
         rng = rng + jax.random.uniform(key, (rays_o.shape[0], 1))
     step = step_size * rng
     interpx = t_min[..., None] + step
@@ -55,7 +61,8 @@ def sample_ray_world(
 
 
 def sample_ray_contracted(
-    rays_o, rays_d, near: float, far: float, n_samples: int, key: Optional[jax.Array]
+    rays_o, rays_d, near: float, far: float, n_samples: int,
+    key: Optional[jax.Array], det_jitter: bool = False,
 ):
     """Inner/outer split with mip-NeRF-360 contraction (reference:
     tensorBase.py:524-559). Inner: uniform [near, 2]; outer: inverse-distance
@@ -64,7 +71,11 @@ def sample_ray_contracted(
     outer_n = n_samples // 2
 
     interpx_inner = jnp.linspace(near, 2.0, inner_n + 1)[None]  # [1, S_in+1]
-    if key is not None:
+    if det_jitter:
+        k2 = None
+        jitter = jnp.full(interpx_inner.shape, 0.5) * ((2.0 - near) / inner_n)
+        interpx_inner = interpx_inner.at[:, :-1].add(jitter[:, :-1])
+    elif key is not None:
         k1, k2 = jax.random.split(key)
         jitter = jax.random.uniform(k1, interpx_inner.shape) * ((2.0 - near) / inner_n)
         interpx_inner = interpx_inner.at[:, :-1].add(jitter[:, :-1])
@@ -73,7 +84,9 @@ def sample_ray_contracted(
     interpx_inner = (interpx_inner[:, 1:] + interpx_inner[:, :-1]) * 0.5
 
     rng = jnp.arange(outer_n + 1, dtype=jnp.float32)[None]
-    if k2 is not None:
+    if det_jitter:
+        rng = rng.at[:, :-1].add(0.5)
+    elif k2 is not None:
         jitter = jax.random.uniform(k2, rng.shape)
         rng = rng.at[:, :-1].add(jitter[:, :-1])
     rng = jnp.flip(rng, axis=1)
@@ -96,12 +109,13 @@ def sample_xyz(
     aabb,
     step_size: float,
     key: Optional[jax.Array] = None,
+    det_jitter: bool = False,
 ):
     """Dispatch (reference: renderer.py:147-170). rays [R, 6] packed (o, d)."""
     rays_o, rays_d = rays[:, :3], rays[:, 3:6]
     near, far = near_far
     if ray_type == "ndc":
-        return sample_ray_ndc(rays_o, rays_d, near, far, n_samples, aabb, key)
+        return sample_ray_ndc(rays_o, rays_d, near, far, n_samples, aabb, key, det_jitter)
     if ray_type == "contract":
-        return sample_ray_contracted(rays_o, rays_d, near, far, n_samples, key)
-    return sample_ray_world(rays_o, rays_d, near, far, n_samples, aabb, step_size, key)
+        return sample_ray_contracted(rays_o, rays_d, near, far, n_samples, key, det_jitter)
+    return sample_ray_world(rays_o, rays_d, near, far, n_samples, aabb, step_size, key, det_jitter)

@@ -89,6 +89,12 @@ class StepStatics:
     # activations — required to fit the 640³ schedule in HBM, ~free when
     # gather-bound
     remat: bool = True
+    # golden-comparison mode: replaces every stochastic train-time draw with
+    # the deterministic value the reference harness patches torch.rand to
+    # (0.5): sampler jitter becomes a constant half-bin shift and the
+    # white-fill coin always lands tails (golden/run_reference.py applies the
+    # matching patch to the reference). Bit-for-bit comparable trajectories.
+    golden_det: bool = False
 
 
 def focal_from_fov(fov: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
@@ -132,9 +138,13 @@ def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bo
     in passes A-D (train.py:1152-1153 etc.); in that case the static field is
     evaluated entirely under stop_gradient (no VJP residuals at all).
     """
-    k_samp, k_comp = jax.random.split(key)
+    if S.golden_det:
+        k_samp = k_comp = None
+    else:
+        k_samp, k_comp = jax.random.split(key)
     xyz, z_vals, ray_valid = sample_xyz(
-        rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k_samp
+        rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k_samp,
+        det_jitter=S.golden_det,
     )
 
     def run_static(p, rays_, xyz_):
@@ -430,9 +440,10 @@ def train_loss(
         # passes (train.py:1960-2094)
         uv_f2 = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_f
         rays_f_nd = _rays_from_uv(uv_f2, poses_f, focal, S)
-        k5a, k5b = jax.random.split(keys[5])
+        k5a, k5b = (None, None) if S.golden_det else jax.random.split(keys[5])
         xyz_f, zv_f, rv_f = sample_xyz(
-            rays_f_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5a
+            rays_f_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5a,
+            det_jitter=S.golden_det,
         )
         eval_static_r = jax.checkpoint(eval_static_field, static_argnums=(1, 8)) if S.remat else eval_static_field
         stFF = eval_static_r(
@@ -448,7 +459,8 @@ def train_loss(
         uv_b2 = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_b
         rays_b_nd = _rays_from_uv(uv_b2, poses_b, focal, S)
         xyz_b, zv_b, rv_b = sample_xyz(
-            rays_b_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5b
+            rays_b_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5b,
+            det_jitter=S.golden_det,
         )
         stBB = eval_static_r(
             params["static"], S.static_cfg, aabb, rays_b_nd, ts_train, xyz_b, zv_b, rv_b, S.ray_type
@@ -503,6 +515,9 @@ def train_loss(
 # ---------------------------------------------------------------------------
 
 ADAM = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8)
+# pose/focal Adams use torch defaults — the reference constructs them without
+# betas (train.py:993, 1002), unlike the field optimizer's (0.9, 0.99)
+ADAM_POSE = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 
 def is_spatial(path) -> bool:
@@ -515,8 +530,8 @@ def is_spatial(path) -> bool:
 def init_opt_state(params):
     return {
         "fields": ADAM.init({"static": params["static"], "dynamic": params["dynamic"]}),
-        "pose": ADAM.init(params["pose"]),
-        "fov": ADAM.init(params["fov"]),
+        "pose": ADAM_POSE.init(params["pose"]),
+        "fov": ADAM_POSE.init(params["fov"]),
     }
 
 
@@ -531,10 +546,10 @@ def apply_updates(params, grads, opt_state, sc):
     )
     new_field_params = optax.apply_updates(field_params, upd_f)
 
-    upd_p, new_pose_state = ADAM.update(grads["pose"], opt_state["pose"], params["pose"])
+    upd_p, new_pose_state = ADAM_POSE.update(grads["pose"], opt_state["pose"], params["pose"])
     new_pose = params["pose"] - sc["lr_pose"] * upd_p
 
-    upd_v, new_fov_state = ADAM.update(grads["fov"], opt_state["fov"], params["fov"])
+    upd_v, new_fov_state = ADAM_POSE.update(grads["fov"], opt_state["fov"], params["fov"])
     new_fov = params["fov"] - sc["lr_focal"] * upd_v
 
     new_params = {

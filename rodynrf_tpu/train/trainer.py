@@ -126,22 +126,66 @@ class Trainer:
 
         self.iteration = 0
         self.metrics_history = []
+        # golden-comparison hook: callable(iteration) -> (ray_idx, ray_idx_rand)
+        # replacing the permutation samplers with an externally recorded stream
+        self.sampler_override = None
         if getattr(args, "ckpt", None):
             self._resume(args.ckpt)
         self._build_step()
 
+    def save_full(self, path: str):
+        """Write a FULL training checkpoint: params, Adam moments, PRNG key,
+        and both samplers' states — a resumed run continues the exact same
+        trajectory (the reference's resume restarts the static model and all
+        optimizers, train.py:896-901; this is strictly stronger)."""
+        from .checkpoints import save_checkpoint
+
+        def adam_to_dict(st):
+            # optax chains wrap state in a tuple; scale_by_adam state is
+            # (count, mu, nu)
+            s = st[0] if isinstance(st, tuple) and not hasattr(st, "mu") else st
+            return {"count": s.count, "mu": s.mu, "nu": s.nu}
+
+        tree = {
+            "params": {k: self.params[k] for k in ("static", "dynamic", "pose", "fov")},
+            "opt": {k: adam_to_dict(v) for k, v in self.opt_state.items()},
+            "rng_key": self.key,
+            "sampler_ids": np.asarray(
+                self.sampler.ids if self.sampler.ids is not None else np.zeros(0, np.int64)
+            ),
+            "sampler2_ids": np.asarray(
+                self.sampler2.ids if self.sampler2.ids is not None else np.zeros(0, np.int64)
+            ),
+        }
+        extra = {
+            "iteration": self.iteration,
+            "full_state": True,
+            "sampler_curr": int(self.sampler.curr),
+            "sampler2_curr": int(self.sampler2.curr),
+            "sampler_rng": self.sampler.rng.bit_generator.state,
+            "sampler2_rng": self.sampler2.rng.bit_generator.state,
+        }
+        save_checkpoint(path, tree, self.static_cfg, self.dynamic_cfg,
+                        np.asarray(self.aabb), extra=extra)
+
     def _resume(self, ckpt_path: str):
         """Resume training from a native checkpoint.
 
-        The reference restores only the dynamic model and restarts the
-        static model/optimizers/iteration (train.py:896-901); the native
-        .npz carries the full state, so we restore all params, grid sizes,
-        and the iteration, replaying the LR/upsample schedule to that point.
+        Full checkpoints (Trainer.save_full) restore params, Adam moments,
+        PRNG key, and sampler states — bit-exact continuation. Plain
+        checkpoints (the CLI's periodic saves) restore params/grids/iteration
+        with fresh optimizers, replaying the LR/upsample schedule (still a
+        superset of the reference's dynamic-model-only resume,
+        train.py:896-901).
         """
+        import optax
+
         from .checkpoints import load_checkpoint
 
         params, static_cfg, dynamic_cfg, aabb, extra = load_checkpoint(ckpt_path)
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        full = bool(extra.get("full_state"))
+        tree = params if not full else params["params"]
+        self.params = jax.tree_util.tree_map(jnp.asarray, tree)
         self.static_cfg = static_cfg
         self.dynamic_cfg = dynamic_cfg
         self.aabb = jnp.asarray(aabb)
@@ -149,14 +193,31 @@ class Trainer:
         self.n_samples = min(
             self.args.nSamples, cal_n_samples(static_cfg.grid_size, self.args.step_ratio)
         )
-        self.opt_state = init_opt_state(self.params)
-        # replay schedule arithmetic up to the resumed iteration
+        if full:
+            def adam_from_dict(d):
+                return optax.ScaleByAdamState(
+                    count=jnp.asarray(d["count"]),
+                    mu=jax.tree_util.tree_map(jnp.asarray, d["mu"]),
+                    nu=jax.tree_util.tree_map(jnp.asarray, d["nu"]),
+                )
+            self.opt_state = {k: adam_from_dict(v) for k, v in params["opt"].items()}
+            self.key = jnp.asarray(np.asarray(params["rng_key"], np.uint32))
+            for name, samp in (("sampler", self.sampler), ("sampler2", self.sampler2)):
+                ids = np.asarray(params[f"{name}_ids"])
+                samp.ids = ids if ids.size else None
+                samp.curr = int(extra[f"{name}_curr"])
+                samp.rng.bit_generator.state = extra[f"{name}_rng"]
+        else:
+            self.opt_state = init_opt_state(self.params)
+        # replay schedule arithmetic up to the resumed iteration (upsample
+        # fires at the END of iteration i when i is in upsamp_list, matching
+        # reference train.py:2582)
         for i in range(self.iteration):
             self.schedule.after_step(i)
-            if (i + 1) in self.args.upsamp_list:
+            if i in self.args.upsamp_list:
                 if self.n_voxel_list:
                     self.n_voxel_list.pop(0)
-                self.schedule.on_upsample(i + 1)
+                self.schedule.on_upsample(i)
 
     # ------------------------------------------------------------------
     def _statics(self) -> StepStatics:
@@ -190,6 +251,7 @@ class Trainer:
                 tv_app=a.TV_weight_app,
             ),
             step_size=self.static_cfg.step_size(np.asarray(self.scene.scene_bbox)),
+            golden_det=bool(getattr(a, "golden_det", 0)),
         )
 
     def _build_step(self):
@@ -198,8 +260,13 @@ class Trainer:
     # ------------------------------------------------------------------
     def run_step(self) -> Dict[str, float]:
         i = self.iteration
-        ray_idx = jnp.asarray(self.sampler.nextids())
-        ray_idx_rand = jnp.asarray(self.sampler2.nextids())
+        if self.sampler_override is not None:
+            idx, idx_rand = self.sampler_override(i)
+            ray_idx = jnp.asarray(idx)
+            ray_idx_rand = jnp.asarray(idx_rand)
+        else:
+            ray_idx = jnp.asarray(self.sampler.nextids())
+            ray_idx_rand = jnp.asarray(self.sampler2.nextids())
         if self.mesh is not None:
             from ..parallel import shard_batch_indices
 
@@ -217,11 +284,14 @@ class Trainer:
         self.schedule.after_step(i)
         self.iteration += 1
 
-        if self.iteration in self.args.upsamp_list:
-            self._upsample()
+        # upsample at the END of iteration i when i in upsamp_list — the
+        # reference's in-body check (train.py:2582), so the upsampled grid is
+        # first used by iteration i+1
+        if i in self.args.upsamp_list:
+            self._upsample(i)
         return metrics
 
-    def _upsample(self):
+    def _upsample(self, iteration: int):
         """Coarse-to-fine grid growth (reference: train.py:2582-2606)."""
         n_voxels = self.n_voxel_list.pop(0)
         reso = n_to_reso(n_voxels, self.scene.scene_bbox)
@@ -231,8 +301,14 @@ class Trainer:
         self.params["dynamic"] = upsample_dynamic_field(self.params["dynamic"], reso)
         self.static_cfg = self.static_cfg.with_grid(reso)
         self.dynamic_cfg = self.dynamic_cfg.with_grid(reso)
-        self.schedule.on_upsample(self.iteration)
-        self.opt_state = init_opt_state(self.params)  # fresh Adam (train.py:2606)
+        self.schedule.on_upsample(iteration)
+        # fresh Adam for the FIELD groups only (train.py:2606 recreates the
+        # main optimizer); the pose/focal Adams and their moments survive
+        # upsamples in the reference (only their lr is touched, 2592-2595)
+        old = self.opt_state
+        self.opt_state = dict(init_opt_state(self.params))
+        self.opt_state["pose"] = old["pose"]
+        self.opt_state["fov"] = old["fov"]
         self._build_step()
 
     # ------------------------------------------------------------------
