@@ -41,15 +41,25 @@ def make_chunk_renderer(
     ray_type: str,
     n_samples: int,
     step_size: float,
+    alpha_mask=None,
 ):
     """Build the jitted per-chunk render function (eval mode: deterministic
-    sampling, no stochastic white fill)."""
+    sampling, no stochastic white fill).
+
+    alpha_mask: optional AlphaGridMask — samples whose occupancy bit is 0 are
+    marked invalid before the field evaluation, the reference's early-out
+    (tensorBase.py:745-765)."""
 
     @jax.jit
     def render_chunk(params, aabb, rays, ts) -> RenderMaps:
         xyz, z_vals, ray_valid = sample_xyz(
             rays, n_samples, ray_type, static_cfg.near_far, aabb, step_size, None
         )
+        if alpha_mask is not None:
+            R, S, _ = xyz.shape
+            t_flat = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1)
+            alphas = alpha_mask.sample_alpha(xyz.reshape(-1, 3), t_flat).reshape(R, S)
+            ray_valid = ray_valid & (alphas > 0)
         st = eval_static_field(
             params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type
         )

@@ -63,8 +63,16 @@ def save_checkpoint(
     dynamic_cfg: FieldConfig,
     aabb: np.ndarray,
     extra: Dict[str, Any] | None = None,
+    alpha_mask=None,
 ):
     flat = _flatten(jax_to_np(params))
+    if alpha_mask is not None:
+        from ..fields.alpha_mask import pack_alpha
+
+        packed = pack_alpha(alpha_mask)
+        flat["__alpha__/shape"] = np.asarray(packed["alphaMask.shape"])
+        flat["__alpha__/mask"] = packed["alphaMask.mask"]
+        flat["__alpha__/aabb"] = packed["alphaMask.aabb"]
     meta = {
         "static_cfg": dataclasses.asdict(static_cfg),
         "dynamic_cfg": dataclasses.asdict(dynamic_cfg),
@@ -76,10 +84,21 @@ def save_checkpoint(
     np.savez_compressed(path, __meta__=json.dumps(meta), **flat)
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, return_alpha: bool = False):
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     flat = {k: data[k] for k in data.files if k != "__meta__"}
+    alpha_mask = None
+    if "__alpha__/mask" in flat:
+        from ..fields.alpha_mask import unpack_alpha
+
+        alpha_mask = unpack_alpha(
+            {
+                "alphaMask.shape": flat.pop("__alpha__/shape"),
+                "alphaMask.mask": flat.pop("__alpha__/mask"),
+                "alphaMask.aabb": flat.pop("__alpha__/aabb"),
+            }
+        )
     params = _unflatten(flat)
     static_cfg = FieldConfig(**{
         **meta["static_cfg"],
@@ -96,6 +115,8 @@ def load_checkpoint(path: str):
         "near_far": tuple(meta["dynamic_cfg"]["near_far"]),
     })
     aabb = np.asarray(meta["aabb"], np.float32)
+    if return_alpha:
+        return params, static_cfg, dynamic_cfg, aabb, meta["extra"], alpha_mask
     return params, static_cfg, dynamic_cfg, aabb, meta["extra"]
 
 
@@ -204,9 +225,15 @@ def reference_kwargs(cfg: FieldConfig, aabb, poses_mtx, focal) -> Dict[str, Any]
 
 
 def export_th(
-    path: str, params, cfg: FieldConfig, aabb, poses_mtx, focal, *, dynamic: bool
+    path: str, params, cfg: FieldConfig, aabb, poses_mtx, focal, *, dynamic: bool,
+    alpha_mask=None,
 ):
-    """Write a reference-loadable .th checkpoint (train.py:2417-2426 files)."""
+    """Write a reference-loadable .th checkpoint (train.py:2417-2426 files).
+
+    alpha_mask: optional AlphaGridMask; packed exactly like the reference's
+    TensorBase.save (tensorBase.py:465-469): bit-packed bool volume of shape
+    [1, 1, D, H, W, T] + aabb, at the checkpoint's top level.
+    """
     import torch
 
     sd_np = dynamic_state_dict(params, cfg) if dynamic else static_state_dict(params, cfg)
@@ -214,6 +241,15 @@ def export_th(
         k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in sd_np.items()
     }
     ckpt = {"kwargs": reference_kwargs(cfg, aabb, poses_mtx, focal), "state_dict": state_dict}
+    if alpha_mask is not None:
+        vol = np.asarray(alpha_mask.alpha_volume) > 0.5
+        # the reference stores its module's [1, 1, D, H, W, T] view
+        vol6 = vol.reshape(1, 1, *vol.shape)
+        ckpt["alphaMask.shape"] = vol6.shape
+        ckpt["alphaMask.mask"] = np.packbits(vol6.reshape(-1))
+        ckpt["alphaMask.aabb"] = torch.tensor(
+            np.asarray(alpha_mask.aabb), dtype=torch.float32
+        )
     torch.save(ckpt, path)
 
 
@@ -274,4 +310,21 @@ def import_th(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         },
         "dynamic": dynamic,
     }
+
+    # packed alpha volume (reference: tensorBase.py:465-469 save / 472-484
+    # load — note the reference's own load path crashes on its missing tSize
+    # arg; we reconstruct our AlphaGridMask instead of mirroring that bug)
+    if "alphaMask.aabb" in ckpt:
+        from ..fields.alpha_mask import unpack_alpha
+
+        shape = tuple(int(s) for s in ckpt["alphaMask.shape"])
+        vol_shape = shape[2:] if len(shape) == 6 else shape  # drop [1, 1, ...]
+        aabb_t = ckpt["alphaMask.aabb"]
+        meta["alpha_mask"] = unpack_alpha(
+            {
+                "alphaMask.shape": vol_shape,
+                "alphaMask.mask": np.asarray(ckpt["alphaMask.mask"]),
+                "alphaMask.aabb": aabb_t.numpy() if hasattr(aabb_t, "numpy") else np.asarray(aabb_t),
+            }
+        )
     return params, meta
