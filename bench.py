@@ -7,11 +7,15 @@ multi-pass train step — 7 static+dynamic render passes with pose/focal
 optimization enabled, the reference's heaviest configuration,
 reference train.py:1032-2351).
 
-Reference baseline: the PyTorch reference publishes no throughput numbers
-(BASELINE.md). REF_RAYS_PER_SEC_A100 below is an *estimate* of the eager
-PyTorch reference on A100 at the Nvidia config (batch 1024; ~2-5 it/s for
-~7-pass eager training at 128³-300³ grids); replace with a measured value
-when an A100 run is available. vs_baseline = ours / estimate.
+Baseline (measured): golden/bench_reference.py times the UNMODIFIED
+reference train.py reconstruction loop on this box (torch eager, CPU) at the
+Nvidia recipe shapes (batch 1024, 128^3 grid, 115 samples/ray) and writes
+golden/out/ref_bench.json. This script measures the same 128^3 config here
+(plus the 300^3 steady-state config where >75% of the reference's 100k
+iterations run) and reports vs_baseline = ours@128^3 / reference@128^3 —
+a measured, same-workload ratio (cross-hardware: TPU vs this box's CPU;
+run `bench.py --cpu` for the same-box CPU-vs-CPU ratio, written to
+golden/out/ours_bench_cpu.json and folded into later runs).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -25,29 +29,40 @@ import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 
+CPU_MODE = "--cpu" in sys.argv
+if CPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if CPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(HERE, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-REF_RAYS_PER_SEC_A100 = 3500.0  # estimated eager-PyTorch reference (see module docstring)
+REF_BENCH = os.path.join(HERE, "golden", "out", "ref_bench.json")
+OURS_CPU_BENCH = os.path.join(HERE, "golden", "out", "ours_bench_cpu.json")
+
+# fallback only (used when golden/out/ref_bench.json is absent): estimated
+# eager-PyTorch reference on A100 at the Nvidia config
+REF_RAYS_PER_SEC_A100_ESTIMATE = 3500.0
+
+T, H, W = 12, 270, 480
+BATCH = 1024
 
 
-def main():
-    from rodynrf_tpu.data import make_synthetic_scene
-    from rodynrf_tpu.train import Trainer, parse_cmd
+def _args(n_voxel: int):
+    from rodynrf_tpu.train import parse_cmd
 
-    # Nvidia-config steady state: batch 1024, 300^3 grid (the schedule's
-    # final resolution, where >75% of the reference's 100k iterations run),
-    # full pose+focal optimization.
-    T, H, W = 12, 270, 480
-    batch = 1024
-    args = parse_cmd(
+    return parse_cmd(
         f"--expname bench --datadir none --dataset_name synthetic "
-        f"--n_iters 100000 --batch_size {batch} --N_voxel_t {T} "
-        f"--N_voxel_init {300**3} --N_voxel_final {300**3} "
+        f"--n_iters 100000 --batch_size {BATCH} --N_voxel_t {T} "
+        f"--N_voxel_init {n_voxel} --N_voxel_final {n_voxel} "
         f"--upsamp_list 8000 --upsamp_list 12000 --upsamp_list 16000 --upsamp_list 22000 "
         f"--step_ratio 2.0 --ray_type ndc "
         f"--model_name TensorVMSplit_TimeEmbedding --shadingMode MLP_Fea_late_view "
@@ -59,35 +74,34 @@ def main():
         f"--distortion_weight_dynamic 0.01 "
         f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1"
     )
-    scene = make_synthetic_scene(T=T, H=H, W=W)
-    trainer = Trainer(args, scene)
 
-    warmup = int(os.environ.get("BENCH_WARMUP", 5))
-    iters = int(os.environ.get("BENCH_ITERS", 30))
 
+def measure_train(scene, n_voxel: int, warmup: int, iters: int):
+    from rodynrf_tpu.train import Trainer
+
+    trainer = Trainer(_args(n_voxel), scene)
     for _ in range(warmup):
         m = trainer.run_step()
     jax.block_until_ready(m["total_loss"])
-
     t0 = time.perf_counter()
     for _ in range(iters):
         m = trainer.run_step()
     jax.block_until_ready(m["total_loss"])
     dt = time.perf_counter() - t0
+    return iters / dt, trainer
 
-    steps_per_sec = iters / dt
-    rays_per_sec = steps_per_sec * batch
 
-    # render-path throughput (BASELINE.md metric (b)): eval-mode dual-field
-    # chunk renderer, chunk 8192 (reference renders eval at chunk 512,
-    # renderer.py:732)
+def measure_render(trainer, scene, chunk=8192, reps=10):
+    """Render-path throughput (BASELINE.md metric (b)): eval-mode dual-field
+    chunk renderer (reference renders eval at chunk 512, renderer.py:732)."""
     import jax.numpy as jnp
+
     from rodynrf_tpu.render.renderer import make_chunk_renderer
 
-    chunk = 8192
     render_chunk = jax.jit(
         make_chunk_renderer(
-            trainer.static_cfg, trainer.dynamic_cfg, args.ray_type, trainer.n_samples,
+            trainer.static_cfg, trainer.dynamic_cfg, trainer.args.ray_type,
+            trainer.n_samples,
             trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
         )
     )
@@ -107,23 +121,103 @@ def main():
     out = render_chunk(params_r, trainer.aabb, rays, ts)
     jax.block_until_ready(out.rgb)
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(reps):
         out = render_chunk(params_r, trainer.aabb, rays, ts)
     jax.block_until_ready(out.rgb)
-    render_rays_per_sec = 10 * chunk / (time.perf_counter() - t0)
+    return reps * chunk / (time.perf_counter() - t0)
+
+
+def _load(path):
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return None
+
+
+def main():
+    from rodynrf_tpu.data import make_synthetic_scene
+
+    scene = make_synthetic_scene(T=T, H=H, W=W)
+    device = str(jax.devices()[0]).split(":")[0]
+    ref = _load(REF_BENCH)
+
+    if CPU_MODE:
+        # same-box, same-workload CPU measurement (matches
+        # golden/bench_reference.py: 128^3, batch 1024)
+        warmup = int(os.environ.get("BENCH_WARMUP", 2))
+        iters = int(os.environ.get("BENCH_ITERS", 8))
+        sps, trainer = measure_train(scene, 128 ** 3, warmup, iters)
+        rays = sps * BATCH
+        out = {
+            "impl": "rodynrf_tpu (jitted step)",
+            "device": device,
+            "iters_per_sec": round(sps, 4),
+            "rays_per_sec": round(rays, 2),
+            "batch_size": BATCH,
+            "n_samples": trainer.n_samples,
+            "grid": list(trainer.static_cfg.grid_size),
+        }
+        with open(OURS_CPU_BENCH, "w") as fh:
+            json.dump(out, fh, indent=1)
+        result = {
+            "metric": "train_rays_per_sec_cpu",
+            "value": round(rays, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays / ref["rays_per_sec"], 3) if ref else None,
+            "device": device,
+            "baseline_note": (
+                f"same-box CPU vs measured torch reference "
+                f"({ref['rays_per_sec']} rays/s)" if ref else "no reference measurement"
+            ),
+        }
+        print(json.dumps(result))
+        return
+
+    warmup = int(os.environ.get("BENCH_WARMUP", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+
+    # headline: 300^3 steady state (the schedule's final resolution, where
+    # >75% of the reference's 100k iterations run)
+    sps_300, trainer_300 = measure_train(scene, 300 ** 3, warmup, iters)
+    render_rays = measure_render(trainer_300, scene)
+
+    # anchor config: identical shapes to the measured reference run
+    sps_128, trainer_128 = measure_train(scene, 128 ** 3, warmup, iters)
+
+    rays_300 = sps_300 * BATCH
+    rays_128 = sps_128 * BATCH
+
+    ours_cpu = _load(OURS_CPU_BENCH)
+    if ref:
+        vs_baseline = rays_128 / ref["rays_per_sec"]
+        note = (
+            f"measured: ours@128^3 on {device} vs unmodified reference train.py "
+            f"@128^3 torch-eager on this box's CPU ({ref['rays_per_sec']} rays/s, "
+            f"{ref['torch_threads']} thread(s)); same workload, different silicon"
+        )
+    else:
+        vs_baseline = rays_300 / REF_RAYS_PER_SEC_A100_ESTIMATE
+        note = "vs estimated PyTorch reference on A100 (3500 rays/s, unmeasured)"
 
     result = {
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(rays_300, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC_A100, 3),
-        "steps_per_sec": round(steps_per_sec, 3),
-        "render_rays_per_sec": round(render_rays_per_sec, 1),
-        "batch_size": batch,
-        "n_samples": trainer.n_samples,
-        "grid": list(trainer.static_cfg.grid_size),
-        "device": str(jax.devices()[0]).split(":")[0],
-        "baseline_note": "vs estimated PyTorch reference on A100 (3500 rays/s, unmeasured)",
+        "vs_baseline": round(vs_baseline, 3),
+        "steps_per_sec": round(sps_300, 3),
+        "render_rays_per_sec": round(render_rays, 1),
+        "batch_size": BATCH,
+        "n_samples": trainer_300.n_samples,
+        "grid": list(trainer_300.static_cfg.grid_size),
+        "device": device,
+        "anchor_rays_per_sec_128": round(rays_128, 1),
+        "ref_cpu_rays_per_sec": ref["rays_per_sec"] if ref else None,
+        "ours_cpu_rays_per_sec": ours_cpu["rays_per_sec"] if ours_cpu else None,
+        "cpu_same_box_speedup": (
+            round(ours_cpu["rays_per_sec"] / ref["rays_per_sec"], 3)
+            if (ref and ours_cpu) else None
+        ),
+        "baseline_note": note,
     }
     print(json.dumps(result))
 

@@ -70,8 +70,33 @@ _LPIPS_CACHE = {}
 
 
 def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex"):
-    """LPIPS via the torch `lpips` package (reference: utils.py:68-84).
-    Returns None when the package/weights are unavailable."""
+    """LPIPS (reference: utils.py:68-84). Scored by the native JAX
+    implementation (eval/lpips_jax.py) with weights converted from a
+    torch-saved lpips.LPIPS state_dict — point $LPIPS_WEIGHTS_{ALEX,VGG} (or
+    $LPIPS_WEIGHTS_DIR/lpips_{net}.pth) at the dump. Falls back to the torch
+    `lpips` pip package if installed; returns None when no weights exist."""
+    import os
+
+    key = f"jax_{net_name}"
+    if key not in _LPIPS_CACHE:
+        path = os.environ.get(f"LPIPS_WEIGHTS_{net_name.upper()}")
+        if not path:
+            d = os.environ.get("LPIPS_WEIGHTS_DIR")
+            if d:
+                cand = os.path.join(d, f"lpips_{net_name}.pth")
+                path = cand if os.path.exists(cand) else None
+        if path and os.path.exists(path):
+            from .lpips_jax import load_lpips_torch_checkpoint
+
+            _LPIPS_CACHE[key] = load_lpips_torch_checkpoint(path, net_name)
+        else:
+            _LPIPS_CACHE[key] = None
+    if _LPIPS_CACHE[key] is not None:
+        from .lpips_jax import lpips as lpips_jax
+
+        d = lpips_jax(_LPIPS_CACHE[key], np_gt[None], np_im[None], net_name)
+        return float(np.asarray(d)[0])
+
     try:
         import lpips
         import torch

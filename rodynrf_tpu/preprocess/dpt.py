@@ -27,7 +27,13 @@ import numpy as np
 DN = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(p, x, stride=1, padding="SAME"):
+def conv2d(p, x, stride=1, padding=None):
+    # default: torch-style symmetric (k-1)//2 padding — XLA "SAME" pads
+    # asymmetrically for stride 2 (act_postprocess4's 3x3/2 resample,
+    # vit.py:280-287) and would break torch parity
+    if padding is None:
+        kh, kw = p["w"].shape[:2]
+        padding = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
     out = jax.lax.conv_general_dilated(
         x, p["w"], (stride, stride), padding, dimension_numbers=DN
     )
@@ -35,8 +41,12 @@ def conv2d(p, x, stride=1, padding="SAME"):
 
 
 def conv_transpose2d(p, x, stride):
+    # transpose_kernel=True gives torch ConvTranspose2d semantics (gradient-of-
+    # conv): kernel spatially flipped, I/O roles swapped. The weight here is
+    # the torch [in, out, kh, kw] tensor permuted to [kh, kw, out, in].
     out = jax.lax.conv_transpose(
-        x, p["w"], (stride, stride), "VALID", dimension_numbers=DN
+        x, p["w"], (stride, stride), "VALID", dimension_numbers=DN,
+        transpose_kernel=True,
     )
     return out + p["b"]
 
@@ -51,14 +61,31 @@ def linear(p, x):
     return x @ p["w"] + p["b"]
 
 
+def _interp_matrix_half_pixel(n_out: int, n_in: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n_out, n_in] 1D linear interpolation matrix with half-pixel centers
+    (torch F.interpolate align_corners=False semantics)."""
+    pos = (jnp.arange(n_out, dtype=dtype) + 0.5) * (n_in / n_out) - 0.5
+    pos = jnp.clip(pos, 0.0, n_in - 1.0)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max(n_in - 2, 0))
+    w = pos - i0
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), dtype)
+    m = m.at[rows, i0].add(1.0 - w)
+    m = m.at[rows, jnp.minimum(i0 + 1, n_in - 1)].add(w)
+    return m
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners=True) -> jnp.ndarray:
-    """[N, H, W, C] align-corners bilinear resize (matmul form)."""
+    """[N, H, W, C] bilinear resize (matmul form). align_corners=False uses
+    half-pixel centers, matching torch F.interpolate's default — the
+    reference's ViT pos-embed resize relies on it (vit.py:103-117)."""
     from ..ops.grid_sample import _interp_matrix
 
     N, H, W, C = x.shape
     H2, W2 = out_hw
-    Mh = _interp_matrix(H2, H, x.dtype)
-    Mw = _interp_matrix(W2, W, x.dtype)
+    make = _interp_matrix if align_corners else _interp_matrix_half_pixel
+    Mh = make(H2, H, x.dtype)
+    Mw = make(W2, W, x.dtype)
     return jnp.einsum(
         "hH,nHWc,wW->nhwc", Mh, x, Mw, precision=jax.lax.Precision.HIGHEST
     )
@@ -119,7 +146,10 @@ def vit_forward(p, x: jnp.ndarray, cfg: DPTConfig = DPT_LARGE) -> List[jnp.ndarr
     g0 = int(np.sqrt(pos.shape[1] - 1))
     cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
     if (gh, gw) != (g0, g0):
-        grid_pos = resize_bilinear(grid_pos.reshape(1, g0, g0, dim), (gh, gw))
+        # reference _resize_pos_embed uses align_corners=False (vit.py:103-117)
+        grid_pos = resize_bilinear(
+            grid_pos.reshape(1, g0, g0, dim), (gh, gw), align_corners=False
+        )
         grid_pos = grid_pos.reshape(1, gh * gw, dim)
     cls_tok = jnp.broadcast_to(p["cls_token"], (N, 1, dim))
     x = jnp.concatenate([cls_tok, tokens], 1) + jnp.concatenate([cls_pos, grid_pos], 1)

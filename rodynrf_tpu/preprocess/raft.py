@@ -34,9 +34,14 @@ import numpy as np
 DN = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(p, x, stride=1, padding="SAME"):
+def conv2d(p, x, stride=1):
+    # torch-style symmetric padding (k-1)//2 — NOT XLA "SAME", which pads
+    # asymmetrically for stride 2 and breaks parity with the reference's
+    # stride-2 encoder convs (extractor.py:124-131)
+    kh, kw = p["w"].shape[:2]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
     out = jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), padding, dimension_numbers=DN
+        x, p["w"], (stride, stride), pad, dimension_numbers=DN
     )
     return out + p["b"]
 
@@ -277,7 +282,12 @@ def _conv_p(sd, name):
 def _norm_p(sd, name, kind):
     if kind == "none":
         return {}
-    p = {"scale": sd[f"{name}.weight"].copy(), "bias": sd[f"{name}.bias"].copy()}
+    p = {}
+    # torch InstanceNorm2d defaults to affine=False: official RAFT ckpts have
+    # no weight/bias for the fnet norms (extractor.py:30-34)
+    if f"{name}.weight" in sd:
+        p["scale"] = sd[f"{name}.weight"].copy()
+        p["bias"] = sd[f"{name}.bias"].copy()
     if kind == "batch":
         p["mean"] = sd[f"{name}.running_mean"].copy()
         p["var"] = sd[f"{name}.running_var"].copy()

@@ -79,6 +79,128 @@ def make_chunk_renderer(
     return render_chunk
 
 
+class VisMaps(NamedTuple):
+    """RenderMaps + the induced-flow/Δxyz families the reference's train-time
+    vis logs (reference: renderer.py:483-560, 612-615)."""
+
+    base: RenderMaps
+    induced_flow_f: jnp.ndarray  # [N, 2] px
+    induced_flow_b: jnp.ndarray
+    induced_flow_s_f: jnp.ndarray
+    induced_flow_s_b: jnp.ndarray
+    delta_xyz_sum: jnp.ndarray  # [N, 3] weights_d-weighted warp displacement
+
+
+def make_vis_chunk_renderer(
+    static_cfg: FieldConfig,
+    dynamic_cfg: FieldConfig,
+    ray_type: str,
+    n_samples: int,
+    step_size: float,
+    H: int,
+    W: int,
+):
+    """Vis-mode chunk renderer: everything render_chunk produces plus the
+    dynamic/static induced fwd/bwd flows against neighbor poses and the
+    weighted scene-flow displacement map (reference: renderer.py:400-560)."""
+    from ..fields import dynamic as dyn_field
+    from .flow import induce_flow
+
+    @jax.jit
+    def render_chunk_vis(params, aabb, rays, ts, grid, pose_f, pose_b, focal) -> VisMaps:
+        xyz, z_vals, ray_valid = sample_xyz(
+            rays, n_samples, ray_type, static_cfg.near_far, aabb, step_size, None
+        )
+        st = eval_static_field(
+            params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type
+        )
+        dn = eval_dynamic_field(
+            params["dynamic"], dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type
+        )
+        out = raw2outputs(
+            st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
+            is_train=False, ray_type=ray_type,
+        )
+        delta_sum = jnp.sum(out.weights_d[..., None] * (dn.xyz_prime - dn.pts_ref), axis=1)
+        base = RenderMaps(
+            out.rgb_full, out.depth_full, out.rgb_s, out.depth_s, out.rgb_d, out.depth_d,
+            out.dynamicness, out.weights_d, out.weights_s, dn.pts_ref, delta_sum,
+        )
+
+        sf_f, sf_b = dyn_field.scene_flow(params["dynamic"], dn.pts_ref, ts, aabb)
+        pts_f = dn.pts_ref + sf_f
+        pts_b = dn.pts_ref + sf_b
+        R = rays.shape[0]
+        pf = jnp.broadcast_to(pose_f[None], (R, 3, 4))
+        pb = jnp.broadcast_to(pose_b[None], (R, 3, 4))
+        if_f, _ = induce_flow(H, W, focal, pf, out.weights_d, pts_f, grid, rays, ray_type)
+        if_b, _ = induce_flow(H, W, focal, pb, out.weights_d, pts_b, grid, rays, ray_type)
+        if_s_f, _ = induce_flow(H, W, focal, pf, out.weights_s, st.pts_ref, grid, rays, ray_type)
+        if_s_b, _ = induce_flow(H, W, focal, pb, out.weights_s, st.pts_ref, grid, rays, ray_type)
+        return VisMaps(base, if_f, if_b, if_s_f, if_s_b, delta_sum)
+
+    return render_chunk_vis
+
+
+def render_image_vis(
+    render_chunk_vis,
+    params,
+    aabb,
+    pose_c2w,
+    pose_f,
+    pose_b,
+    focal,
+    t_value: float,
+    H: int,
+    W: int,
+    ray_type: str,
+    chunk: int = 8192,
+) -> Dict[str, np.ndarray]:
+    """Render one frame in vis mode: render_image's maps plus induced-flow
+    and Δxyz maps against the given neighbor poses."""
+    rays = rays_for_view(pose_c2w, focal, H, W, ray_type)
+    ii, jj = np.meshgrid(
+        np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32), indexing="xy"
+    )
+    grid = jnp.asarray(np.stack([ii, jj], -1).reshape(-1, 2))
+    N = rays.shape[0]
+    ts_full = jnp.full((N,), t_value, jnp.float32)
+    pose_f = jnp.asarray(pose_f, jnp.float32)
+    pose_b = jnp.asarray(pose_b, jnp.float32)
+    focal = jnp.asarray(focal, jnp.float32)
+
+    outs = []
+    for start in range(0, N, chunk):
+        sl = slice(start, min(start + chunk, N))
+        rays_c, ts_c, grid_c = rays[sl], ts_full[sl], grid[sl]
+        pad = chunk - rays_c.shape[0]
+        if pad:
+            rays_c = jnp.pad(rays_c, ((0, pad), (0, 0)))
+            ts_c = jnp.pad(ts_c, (0, pad))
+            grid_c = jnp.pad(grid_c, ((0, pad), (0, 0)))
+        maps = render_chunk_vis(params, aabb, rays_c, ts_c, grid_c, pose_f, pose_b, focal)
+        outs.append(
+            jax.tree_util.tree_map(lambda x: np.asarray(x[: sl.stop - sl.start]), maps)
+        )
+
+    cat = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, 0), *outs)
+    b = cat.base
+    return {
+        "rgb": b.rgb.reshape(H, W, 3),
+        "depth": b.depth.reshape(H, W),
+        "rgb_s": b.rgb_s.reshape(H, W, 3),
+        "depth_s": b.depth_s.reshape(H, W),
+        "rgb_d": b.rgb_d.reshape(H, W, 3),
+        "depth_d": b.depth_d.reshape(H, W),
+        "blending": b.blending.reshape(H, W),
+        "induced_flow_f": cat.induced_flow_f.reshape(H, W, 2),
+        "induced_flow_b": cat.induced_flow_b.reshape(H, W, 2),
+        "induced_flow_s_f": cat.induced_flow_s_f.reshape(H, W, 2),
+        "induced_flow_s_b": cat.induced_flow_s_b.reshape(H, W, 2),
+        "delta_xyz_sum": cat.delta_xyz_sum.reshape(H, W, 3),
+    }
+
+
 def rays_for_view(pose_c2w, focal, H: int, W: int, ray_type: str):
     """All-pixel rays for one camera (reference: renderer.py:359-372)."""
     dirs = get_ray_directions_blender(H, W, (focal, focal))

@@ -95,6 +95,12 @@ class StepStatics:
     # white-fill coin always lands tails (golden/run_reference.py applies the
     # matching patch to the reference). Bit-for-bit comparable trajectories.
     golden_det: bool = False
+    # data-parallel mesh: when set, the ray batch's partitioning is asserted
+    # with sharding constraints instead of relying on GSPMD inference. The
+    # trainer guarantees the batch divides this mesh (non-divisible batches
+    # shard over the largest divisor sub-mesh — uneven tiled intermediates
+    # trip an XLA SPMD partitioner CHECK in scatter handling).
+    mesh: Any = None
 
 
 def focal_from_fov(fov: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
@@ -210,6 +216,16 @@ def train_loss(
         focal = sc["focal_fixed"]
     poses_mtx = pose_to_mtx(params["pose"])  # [T, 3, 4]
 
+    # assert (not infer) the data-parallel partitioning of the ray batch:
+    # every per-ray tensor downstream inherits a sharding GSPMD cannot
+    # silently drop (SURVEY §5.8; constraints are no-ops off-mesh)
+    if S.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _ray_sh = NamedSharding(S.mesh, PartitionSpec("data"))
+        ray_idx = jax.lax.with_sharding_constraint(ray_idx, _ray_sh)
+        ray_idx_rand = jax.lax.with_sharding_constraint(ray_idx_rand, _ray_sh)
+
     # batch gather (device-resident dataset)
     rgb_train = data["rgbs"][ray_idx]
     ts_train = data["ts"][ray_idx]
@@ -222,6 +238,12 @@ def train_loss(
     ts_rand = data["ts"][ray_idx_rand]
 
     rays_train, i_px, j_px, view_ids = _rays_from_idx(ray_idx, poses_mtx, focal, S)
+    if S.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rays_train = jax.lax.with_sharding_constraint(
+            rays_train, NamedSharding(S.mesh, PartitionSpec("data", None))
+        )
     grid_train = jnp.stack([i_px, j_px], -1).astype(jnp.float32)  # (train.py:983-988)
 
     t_ref = ray_idx // (H * W)

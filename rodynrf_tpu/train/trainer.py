@@ -115,11 +115,26 @@ class Trainer:
         n_dev = args.n_devices if args.n_devices > 0 else jax.device_count()
         self.mesh = None
         if n_dev > 1:
-            if args.batch_size % n_dev:
-                raise ValueError(f"batch_size {args.batch_size} must divide n_devices {n_dev}")
-            from ..parallel import make_mesh, shard_train_inputs
+            # non-divisible batches shard over the largest divisor sub-mesh
+            # (no padding: uneven tiled intermediates trip an XLA SPMD
+            # partitioner CHECK in the pose-gradient scatter; loss values
+            # stay exactly single-device)
+            import math
 
-            self.mesh = make_mesh(n_dev)
+            d = math.gcd(args.batch_size, n_dev)
+            if d != n_dev:
+                print(
+                    f"[parallel] batch_size {args.batch_size} does not divide "
+                    f"{n_dev} devices; sharding rays over {d} device(s)"
+                )
+            n_dev = d
+        if n_dev > 1:
+            from ..parallel import global_mesh, make_mesh, shard_train_inputs
+
+            # multi-host pods: one mesh over every process's devices; the
+            # input pipeline feeds per-process shards (parallel/multihost.py)
+            use_global = jax.process_count() > 1 and n_dev == jax.device_count()
+            self.mesh = global_mesh() if use_global else make_mesh(n_dev)
             self.params, self.opt_state, self.aabb, self.data = shard_train_inputs(
                 self.mesh, self.params, self.opt_state, self.aabb, self.data
             )
@@ -252,6 +267,7 @@ class Trainer:
             ),
             step_size=self.static_cfg.step_size(np.asarray(self.scene.scene_bbox)),
             golden_det=bool(getattr(a, "golden_det", 0)),
+            mesh=self.mesh,
         )
 
     def _build_step(self):
@@ -268,10 +284,14 @@ class Trainer:
             ray_idx = jnp.asarray(self.sampler.nextids())
             ray_idx_rand = jnp.asarray(self.sampler2.nextids())
         if self.mesh is not None:
-            from ..parallel import shard_batch_indices
+            from ..parallel import global_batch_from_local, shard_batch_indices
 
-            ray_idx = shard_batch_indices(self.mesh, ray_idx)
-            ray_idx_rand = shard_batch_indices(self.mesh, ray_idx_rand)
+            if self.mesh.size == jax.device_count() and jax.process_count() > 1:
+                ray_idx = global_batch_from_local(self.mesh, np.asarray(ray_idx))
+                ray_idx_rand = global_batch_from_local(self.mesh, np.asarray(ray_idx_rand))
+            else:
+                ray_idx = shard_batch_indices(self.mesh, ray_idx)
+                ray_idx_rand = shard_batch_indices(self.mesh, ray_idx_rand)
         self.key, sub = jax.random.split(self.key)
         sc = {
             "iteration": jnp.asarray(i, jnp.int32),

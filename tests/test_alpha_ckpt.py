@@ -29,6 +29,11 @@ from rodynrf_tpu.train.checkpoints import (
 import jax
 
 
+import pytest
+
+pytestmark = pytest.mark.integration
+
+
 def _tiny_cfgs():
     common = dict(
         grid_size=(6, 7, 5), t_size=3, density_n_comp=(2, 2, 2), app_n_comp=(2, 2, 2),

@@ -23,10 +23,13 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 GOLDEN = os.path.join(REPO, "golden")
 OUT = os.path.join(GOLDEN, "out")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(OUT, "ref_record.npz")),
-    reason="golden reference recordings not present",
-)
+pytestmark = [
+    pytest.mark.integration,
+    pytest.mark.skipif(
+        not os.path.exists(os.path.join(OUT, "ref_record.npz")),
+        reason="golden reference recordings not present",
+    ),
+]
 
 # trajectory tags checked in the replay window (before the first upsample at
 # iter 30 — a single compile). Gated/TV/lr tags excluded by design (GOLDEN.md).

@@ -12,6 +12,11 @@ from rodynrf_tpu.testing import TINY, tiny_trainer
 from rodynrf_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 
 
+import pytest
+
+pytestmark = pytest.mark.integration
+
+
 def _trainer():
     return tiny_trainer("ndc", 1)
 

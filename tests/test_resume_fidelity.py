@@ -15,6 +15,11 @@ import numpy as np
 from rodynrf_tpu.testing import tiny_trainer
 
 
+import pytest
+
+pytestmark = pytest.mark.integration
+
+
 def _run(tr, n):
     out = []
     for _ in range(n):

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.integration
+
 from rodynrf_tpu.parallel import (
     make_mesh,
     shard_batch_indices,
@@ -34,25 +36,29 @@ def test_multichip_matches_single_chip_loss():
     }
 
     # non-donating step so params can be fed to both executions
+    import dataclasses
+
     from rodynrf_tpu.train.step import make_train_step
 
-    step_fn = make_train_step(tr._statics(), donate=False)
+    statics = tr._statics()
+    step_1dev = make_train_step(dataclasses.replace(statics, mesh=None), donate=False)
+    step_8dev = make_train_step(statics, donate=False)
 
-    # single device
-    _, _, m1 = step_fn(
+    # single device (no mesh, no constraints)
+    _, _, m1 = step_1dev(
         tr.params, tr.opt_state, tr.aabb, tr.data, ray_idx, ray_idx_rand, key, sc
     )
     loss1 = float(m1["total_loss"])
 
-    # 8-device data mesh
-    mesh = make_mesh(8)
+    # 8-device data mesh with asserted batch partitioning
+    mesh = statics.mesh if statics.mesh is not None else make_mesh(8)
     params, opt_state, aabb, data = shard_train_inputs(
         mesh, tr.params, tr.opt_state, tr.aabb, tr.data
     )
     idx_sharded = shard_batch_indices(mesh, ray_idx)
     idx_rand_sharded = shard_batch_indices(mesh, ray_idx_rand)
     with mesh:
-        new_params, _, m8 = step_fn(
+        new_params, _, m8 = step_8dev(
             params, opt_state, aabb, data, idx_sharded, idx_rand_sharded, key, sc
         )
     loss8 = float(m8["total_loss"])
@@ -76,3 +82,64 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*ex)
     assert out.shape[-1] == 3
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_batch_partitioning_asserted_in_hlo():
+    """The compiled step must CONTAIN the with_sharding_constraint on the ray
+    batch (VERDICT r1 item 7: assert partitioning, don't infer it)."""
+    tr = tiny_trainer("ndc", 1)
+    assert tr.mesh is not None, "trainer should build a mesh on the 8-device env"
+
+    ray_idx = shard_batch_indices(tr.mesh, jnp.asarray(tr.sampler.nextids()))
+    ray_idx_rand = shard_batch_indices(tr.mesh, jnp.asarray(tr.sampler2.nextids()))
+    sc = {
+        "iteration": jnp.asarray(0, jnp.int32),
+        "focal_fixed": jnp.asarray(tr.focal_fixed, jnp.float32),
+        "lr_spatial": jnp.asarray(0.02, jnp.float32),
+        "lr_network": jnp.asarray(1e-3, jnp.float32),
+        "lr_pose": jnp.asarray(3e-3, jnp.float32),
+        "lr_focal": jnp.asarray(0.0, jnp.float32),
+    }
+    from rodynrf_tpu.train.step import make_train_step
+
+    step_fn = make_train_step(tr._statics(), donate=False)
+    hlo = step_fn.lower(
+        tr.params, tr.opt_state, tr.aabb, tr.data, ray_idx, ray_idx_rand,
+        jax.random.PRNGKey(0), sc,
+    ).as_text()
+    # with_sharding_constraint lowers to an explicit annotation over the
+    # 8-way data axis — Shardy (`sdy.sharding_constraint` over @mesh) on this
+    # toolchain, `mhlo.sharding devices=[8]` on GSPMD — which the partitioner
+    # cannot silently drop
+    assert (
+        "sdy.sharding_constraint" in hlo
+        or "devices=[8]" in hlo
+        or "Sharding\" (" in hlo
+    ), "no 8-way sharding constraint found in lowered step"
+    if "sdy.mesh" in hlo:
+        assert '"data"=8' in hlo, "mesh in lowered step is not the 8-way data mesh"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_non_divisible_batch_matches_single_device():
+    """batch_size 60 on 8 devices must not error: the trainer shards over the
+    largest divisor sub-mesh (gcd(60, 8) = 4 devices) and the loss equals the
+    unsharded value. (Padding+slicing instead trips an XLA SPMD partitioner
+    CHECK in the pose-gradient scatter — uneven tiled intermediates.)"""
+    from rodynrf_tpu.testing import tiny_cmd, tiny_scene
+    from rodynrf_tpu.train import Trainer, parse_cmd
+
+    args8 = parse_cmd(tiny_cmd("ndc", 1, batch=60))
+    tr8 = Trainer(args8, tiny_scene())
+    assert tr8.mesh is not None and tr8.mesh.size == 4
+
+    args1 = parse_cmd(tiny_cmd("ndc", 1, batch=60) + " --n_devices 1")
+    tr1 = Trainer(args1, tiny_scene())
+    assert tr1.mesh is None
+
+    m8 = tr8.run_step()
+    m1 = tr1.run_step()
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m8["total_loss"]), rtol=2e-3
+    )

@@ -12,6 +12,8 @@ import pytest
 
 from rodynrf_tpu.testing import tiny_trainer
 
+pytestmark = pytest.mark.integration
+
 
 def _leaf_diff(a, b):
     return max(

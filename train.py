@@ -91,37 +91,79 @@ def _save_ckpts(trainer, logfolder, expname):
 
 
 def _tb_vis_images(trainer, scene, args, writer, it):
-    """Render a few test views into TensorBoard (reference: train.py:2428-2580
-    logs rgb/depth/blending image grids every vis_train_every iterations)."""
+    """Render test views into TensorBoard with the reference's full image
+    families (reference: train.py:2428-2580 + renderer.py:318-657):
+    rgb/depth full+static+dynamic, blending, GT rgb/flow/mask, induced
+    dynamic & static fwd/bwd flows, Δxyz map, monodepth."""
     from rodynrf_tpu.eval.metrics import visualize_depth_numpy
+    from rodynrf_tpu.render.renderer import make_vis_chunk_renderer, render_image_vis
+    from rodynrf_tpu.utils.flow_viz import flow_to_image
 
+    H, W = trainer.H, trainer.W
     poses_mtx, focal = _current_cameras(trainer)
-    render_chunk = make_chunk_renderer(
+    render_chunk_vis = make_vis_chunk_renderer(
         trainer.static_cfg, trainer.dynamic_cfg, args.ray_type, trainer.n_samples,
-        trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
+        trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)), H, W,
     )
-    from rodynrf_tpu.render.renderer import render_image
 
     n_vis = min(args.N_vis if args.N_vis > 0 else scene.n_frames, scene.n_frames)
     idxs = np.linspace(0, scene.n_frames - 1, n_vis).astype(int)
     ts = np.linspace(-1, 1, scene.n_frames) if scene.n_frames > 1 else np.zeros(1)
     params = {"static": trainer.params["static"], "dynamic": trainer.params["dynamic"]}
-    rgbs, depths, blendings = [], [], []
+    T = scene.n_frames
+
+    frames = []
     for i in idxs:
-        maps = render_image(
-            render_chunk, params, trainer.aabb, poses_mtx[i], focal, float(ts[i]),
-            trainer.H, trainer.W, args.ray_type,
+        pose_f = poses_mtx[min(i + 1, T - 1)]
+        pose_b = poses_mtx[max(i - 1, 0)]
+        frames.append(
+            render_image_vis(
+                render_chunk_vis, params, trainer.aabb, poses_mtx[i], pose_f, pose_b,
+                focal, float(ts[i]), H, W, args.ray_type,
+            )
         )
-        rgbs.append(maps["rgb"])
-        depths.append(visualize_depth_numpy(maps["depth"])[0] / 255.0)
-        blendings.append(np.repeat(maps["blending"][..., None], 3, -1))
-    writer.add_images("test/rgb_maps", np.stack(rgbs), global_step=it, dataformats="NHWC")
-    writer.add_images("test/depth_map", np.stack(depths), global_step=it, dataformats="NHWC")
-    writer.add_images("test/blending_maps", np.stack(blendings), global_step=it, dataformats="NHWC")
+
+    def grid(key):
+        return np.stack([f[key] for f in frames])
+
+    def images(tag, arr):
+        writer.add_images(f"test/{tag}", arr, global_step=it, dataformats="NHWC")
+
+    images("rgb_maps", np.clip(grid("rgb"), 0, 1))
+    images("rgb_maps_s", np.clip(grid("rgb_s"), 0, 1))
+    images("rgb_maps_d", np.clip(grid("rgb_d"), 0, 1))
+    images("blending_maps", np.repeat(np.clip(grid("blending"), 0, 1)[..., None], 3, -1))
+
+    # depth families share one global min/max (reference: renderer.py:617-640)
+    depth_fams = {k: grid(k) for k in ("depth", "depth_s", "depth_d")}
+    all_depth = np.stack(list(depth_fams.values()))
+    minmax = (float(all_depth.min()), float(all_depth.max()))
+    for tag, fam in zip(("depth_map", "depth_map_s", "depth_map_d"), depth_fams.values()):
+        images(tag, np.stack([visualize_depth_numpy(d, minmax)[0] / 255.0 for d in fam]))
+
+    # induced flows (reference: renderer.py:585-611)
+    for tag in ("induced_flow_f", "induced_flow_b", "induced_flow_s_f", "induced_flow_s_b"):
+        images(tag, np.stack([flow_to_image(f[tag]) / 255.0 for f in frames]))
+
+    # weighted scene-flow displacement, normalized (reference: renderer.py:612-615)
+    deltas = grid("delta_xyz_sum")
+    delta_imgs = [(d / max(np.abs(d).max(), 1e-12) + 1.0) / 2.0 for d in deltas]
+    images("delta_xyz_tb", np.stack(delta_imgs))
+
+    # GT families (reference: train.py:2540-2580 + renderer.py:641-643)
     if scene.rgbs_stack is not None:
-        writer.add_images(
-            "test/gt_maps", scene.rgbs_stack[idxs], global_step=it, dataformats="NHWC"
-        )
+        images("gt_maps", scene.rgbs_stack[idxs])
+    gt_flows_f = scene.flows_f.reshape(T, H, W, 2)
+    gt_flows_b = scene.flows_b.reshape(T, H, W, 2)
+    images("gt_flow_f", np.stack([flow_to_image(f) / 255.0 for f in gt_flows_f[idxs]]))
+    images("gt_flow_b", np.stack([flow_to_image(f) / 255.0 for f in gt_flows_b[idxs]]))
+    gt_masks = scene.fg_masks.reshape(T, H, W)[idxs]
+    images("gt_blending_maps", np.repeat(gt_masks[..., None], 3, -1))
+    disps = scene.disps.reshape(T, H, W)[idxs]
+    images(
+        "monodepth_tb",
+        np.stack([visualize_depth_numpy(d)[0] / 255.0 for d in disps]),
+    )
 
 
 def reconstruction(args):
@@ -161,15 +203,23 @@ def reconstruction(args):
                 R_err, t_err = evaluate_camera_alignment(aligned, np.asarray(scene.poses))
                 writer.add_scalar("train/pose_R_error_deg", float(np.mean(R_err)) * 180 / np.pi, it)
                 writer.add_scalar("train/pose_t_error", float(np.mean(t_err)), it)
+                # camera wireframe figure (reference: train.py:2365-2415)
+                try:
+                    from rodynrf_tpu.utils.camera_vis import camera_pose_figure
+
+                    img = camera_pose_figure(np.asarray(aligned), np.asarray(scene.poses))
+                    writer.add_images(
+                        "camera_poses", img[None] / 255.0, global_step=it, dataformats="NHWC"
+                    )
+                except ImportError:
+                    pass  # matplotlib optional; all other vis paths stay hard-failing
         if (it + 1) % 10000 == 0:
             _save_ckpts(trainer, logfolder, args.expname)
 
-        # train-time TB visualization (reference: train.py:2428-2580)
+        # train-time TB visualization (reference: train.py:2428-2580).
+        # Failures propagate: a broken vis path must fail the run, not warn.
         if args.N_vis != 0 and (it + 1) % args.vis_train_every == 0:
-            try:
-                _tb_vis_images(trainer, scene, args, writer, it)
-            except Exception as e:
-                print(f"[warn] TB vis failed: {e}")
+            _tb_vis_images(trainer, scene, args, writer, it)
 
     _save_ckpts(trainer, logfolder, args.expname)
 
