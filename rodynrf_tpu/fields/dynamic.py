@@ -140,6 +140,38 @@ def app_feature(params, cfg: FieldConfig, xyz_warped_n) -> jnp.ndarray:
     return feats @ params["basis_mat"]
 
 
+def all_features_fused(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n):
+    """Density, blending, and appearance features in ONE fused mega-take.
+
+    The three grids are always sampled at the same warped coordinates
+    (reference: tensoRF.py:646-811 evaluates them back to back), so their
+    multiscale plane gathers share indices — packing them into one
+    corner-packed table cuts gathered rows 12x (ops/fused_vm.py). Outputs are
+    bit-identical to density_feature/blending_feature/app_feature.
+
+    Returns (sigma_raw [N], blending_raw [N], app [N, app_dim]).
+    """
+    from ..ops.fused_vm import pack_vm, sample_vm_fused
+
+    packed = pack_vm(
+        [
+            (params["density_plane"], params["density_line"]),
+            (params["blending_plane"], params["blending_line"]),
+            (params["app_plane"], params["app_line"]),
+        ],
+        strides=MULTISCALE_STRIDES,
+        gather_dtype=cfg.gather_dtype,
+    )
+    dens_f, blend_f, app_f = sample_vm_fused(packed, xyz_warped_n)
+    head_in = _head_inputs(dens_f, xyz_n, t)
+    sigma = mlp_apply(params["density_head"], head_in)[..., 0]
+    blend = mlp_apply(
+        params["blending_head"], _head_inputs(blend_f, xyz_n, t)
+    )[..., 0]
+    app = app_f @ params["basis_mat"]
+    return sigma, blend, app
+
+
 def scene_flow(params, xyz_unnorm: jnp.ndarray, t: jnp.ndarray, aabb):
     """Forward/backward scene flow (reference: tensoRF.py:446-462).
 

@@ -80,6 +80,34 @@ def app_feature(params, xyz_n: jnp.ndarray, gather_dtype=None) -> jnp.ndarray:
     return feats @ params["basis_mat"]
 
 
+def all_features_fused(params, cfg: FieldConfig, xyz_n):
+    """Density (Σ plane⊙line) and appearance features in one fused take
+    (ops/fused_vm.py; reference semantics tensoRF.py:118-196).
+
+    Returns (sigma_feat [N], app [N, app_dim]) bit-identical to
+    density_feature/app_feature.
+    """
+    from ..ops.fused_vm import pack_vm, sample_vm_fused
+
+    packed = pack_vm(
+        [
+            (params["density_plane"], params["density_line"]),
+            (params["app_plane"], params["app_line"]),
+        ],
+        strides=(1,),
+        gather_dtype=cfg.gather_dtype,
+    )
+    dens_f, app_f = sample_vm_fused(packed, xyz_n)
+    # Σ_axes Σ_c with sample_vm_sum's per-axis add order
+    n_comp = [p.shape[0] for p in params["density_plane"]]
+    sigma = jnp.zeros(xyz_n.shape[0], xyz_n.dtype)
+    c0 = 0
+    for c in n_comp:
+        sigma = sigma + jnp.sum(dens_f[:, c0 : c0 + c], axis=-1)
+        c0 += c
+    return sigma, app_f @ params["basis_mat"]
+
+
 def feature2density(feat: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:
     """(reference: tensorBase.py:678-682)."""
     if cfg.fea2dense_act == "softplus":

@@ -64,13 +64,13 @@ def eval_static_field(
     xyz_n = dyn.normalize_coord(xyz, aabb)
     flat = xyz_n.reshape(-1, 3)
 
-    sigma_feat = stat.density_feature(params, flat, cfg.gather_dtype).reshape(R, S)
+    # fused mega-take: density + appearance in one gather (ops/fused_vm.py)
+    sigma_feat, app_feats = stat.all_features_fused(params, cfg, flat)
+    sigma_feat = sigma_feat.reshape(R, S)
     sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
 
     _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
     app_mask = weight > cfg.ray_march_weight_thres
-
-    app_feats = stat.app_feature(params, flat, cfg.gather_dtype)
     vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
     t_in = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1, 1)
     rgb_raw = apply_shading(
@@ -119,13 +119,16 @@ def eval_dynamic_field(
     xyz_prime = dyn.warp_coordinate(params, xyz_flat, t_flat, aabb)
     xyz_prime_n = dyn.normalize_coord(xyz_prime, aabb)
 
-    sigma_feat = dyn.density_feature(params, cfg, flat_n, t_flat, xyz_prime_n).reshape(R, S)
+    # fused mega-take: density + blending + appearance share one gather
+    # (ops/fused_vm.py; 12x fewer gathered rows than per-grid sampling)
+    sigma_feat, blend_feat, app_feats = dyn.all_features_fused(
+        params, cfg, flat_n, t_flat, xyz_prime_n
+    )
+    sigma_feat = sigma_feat.reshape(R, S)
     sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
 
     _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
     app_mask = weight > cfg.ray_march_weight_thres
-
-    app_feats = dyn.app_feature(params, cfg, xyz_prime_n)
     vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
     rgb_raw = apply_shading(
         params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
@@ -133,8 +136,7 @@ def eval_dynamic_field(
     ).reshape(R, S, 3)
     rgb = jnp.where(app_mask[..., None], rgb_raw, 0.0)
 
-    blend_feat = dyn.blending_feature(params, cfg, flat_n, t_flat, xyz_prime_n).reshape(R, S)
-    blending = jnp.where(ray_valid, jax.nn.sigmoid(blend_feat), 0.0)
+    blending = jnp.where(ray_valid, jax.nn.sigmoid(blend_feat.reshape(R, S)), 0.0)
 
     return FieldEval(
         blending=blending,

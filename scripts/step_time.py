@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Honest train-step timing: chained steps + one value fetch.
+
+On this TPU attachment `block_until_ready` returns before execution, so the
+only trustworthy wall-clock is enqueue-N-steps-then-fetch: step N's params
+depend on step N-1's, so fetching the last loss forces the whole chain.
+
+Usage: python scripts/step_time.py [n_voxel_exp=300] [iters=50] [--bf16]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main():
+    n_voxel_side = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 300
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 50
+    bf16 = "--bf16" in sys.argv
+
+    from rodynrf_tpu.data import make_synthetic_scene
+    from rodynrf_tpu.train import Trainer, parse_cmd
+
+    T, H, W = 12, 270, 480
+    args = parse_cmd(
+        f"--expname steptime --datadir none --dataset_name synthetic "
+        f"--n_iters 100000 --batch_size 1024 --N_voxel_t {T} "
+        f"--N_voxel_init {n_voxel_side**3} --N_voxel_final {n_voxel_side**3} "
+        f"--upsamp_list 8000 --upsamp_list 12000 --upsamp_list 16000 --upsamp_list 22000 "
+        f"--step_ratio 2.0 --ray_type ndc "
+        f"--model_name TensorVMSplit_TimeEmbedding --shadingMode MLP_Fea_late_view "
+        f"--shadingModeStatic MLP_Fea "
+        f"--n_lamb_sigma 16 --n_lamb_sigma 4 --n_lamb_sigma 4 "
+        f"--n_lamb_sh 48 --n_lamb_sh 12 --n_lamb_sh 12 "
+        f"--fea2denseAct relu --view_pe 0 --fea_pe 0 "
+        f"--TV_weight_density 1.0 --TV_weight_app 1.0 "
+        f"--distortion_weight_dynamic 0.01 "
+        f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1 "
+        f"--bf16 {int(bf16)}"
+    )
+    scene = make_synthetic_scene(T=T, H=H, W=W)
+    t0 = time.perf_counter()
+    tr = Trainer(args, scene)
+    print(f"trainer built {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        m = tr.run_step()
+    print(f"warm: loss {float(m['total_loss']):.4f} ({time.perf_counter()-t0:.1f}s incl compile)", flush=True)
+
+    for n in (10, iters):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            m = tr.run_step()
+        v = float(m["total_loss"])
+        dt = time.perf_counter() - t0
+        print(
+            f"iters={n}: per-step {dt/n*1e3:.2f} ms, {1024*n/dt:,.0f} rays/s "
+            f"(loss {v:.4f})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
