@@ -77,16 +77,24 @@ def _args(n_voxel: int):
 
 
 def measure_train(scene, n_voxel: int, warmup: int, iters: int):
+    """Honest step timing: enqueue the chain, then FETCH the last loss.
+
+    On tunneled TPU attachments `block_until_ready` can return before
+    execution (verified: a 4 GiB reduction "completed" in 34 µs); a value
+    fetch is the only trustworthy sync. Step N's params depend on step N-1's,
+    so fetching the final loss forces the whole chain; the single ~30 ms RPC
+    round-trip is amortized over `iters`.
+    """
     from rodynrf_tpu.train import Trainer
 
     trainer = Trainer(_args(n_voxel), scene)
     for _ in range(warmup):
         m = trainer.run_step()
-    jax.block_until_ready(m["total_loss"])
+    float(m["total_loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         m = trainer.run_step()
-    jax.block_until_ready(m["total_loss"])
+    assert np.isfinite(float(m["total_loss"]))  # forces execution of the chain
     dt = time.perf_counter() - t0
     return iters / dt, trainer
 
@@ -119,11 +127,15 @@ def measure_render(trainer, scene, chunk=8192, reps=10):
     )
     ts = jnp.asarray(rng.uniform(-1, 1, (chunk,)), jnp.float32)
     out = render_chunk(params_r, trainer.aabb, rays, ts)
-    jax.block_until_ready(out.rgb)
+    float(jnp.sum(out.rgb))
+    # chain reps through a data dependence so one final fetch forces all of
+    # them (see measure_train: block_until_ready is not a sync here)
     t0 = time.perf_counter()
+    carry = jnp.float32(0.0)
     for _ in range(reps):
-        out = render_chunk(params_r, trainer.aabb, rays, ts)
-    jax.block_until_ready(out.rgb)
+        out = render_chunk(params_r, trainer.aabb, rays, ts + carry * 1e-30)
+        carry = out.rgb[0, 0]
+    assert np.isfinite(float(carry))
     return reps * chunk / (time.perf_counter() - t0)
 
 

@@ -147,6 +147,10 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         help="data-parallel devices (0 = all available)")
     parser.add_argument("--seed", type=int, default=20211202)
     parser.add_argument("--bf16", type=int, default=0, help="bfloat16 field params")
+    parser.add_argument("--remat", type=str, default="auto", choices=["auto", "on", "off"],
+                        help="rematerialize field evals in backward: 'auto' stores "
+                        "activations when the grid schedule fits HBM (faster), "
+                        "remats on the 640^3-class schedules")
     parser.add_argument("--export_th", type=int, default=1,
                         help="also export torch-compatible .th checkpoints")
 

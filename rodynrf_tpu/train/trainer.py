@@ -268,7 +268,19 @@ class Trainer:
             step_size=self.static_cfg.step_size(np.asarray(self.scene.scene_bbox)),
             golden_det=bool(getattr(a, "golden_det", 0)),
             mesh=self.mesh,
+            remat=self._remat_policy(),
         )
+
+    def _remat_policy(self) -> bool:
+        """'auto' stores backward activations when the final grid fits HBM
+        alongside them (measured: ~25% faster at <=300^3) and rematerializes
+        on the 640^3-class schedules where the residuals would not fit."""
+        mode = getattr(self.args, "remat", "auto")
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        return int(self.args.N_voxel_final) > 350 ** 3
 
     def _build_step(self):
         self.step_fn = make_train_step(self._statics())

@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""TPU performance measurement: roofline evidence for PERF.md.
+"""TPU performance measurement: the numbers PERF.md quotes.
 
-Measures, on the real chip (VERDICT r1 items 2b + 3):
-  1. full train-step throughput at the 300^3 steady state and the 640^3
-     no-poses schedule (grid ~706x786x471, 578 samples/ray);
-  2. the plane-gather primitive in isolation at the 640^3 app-plane shapes
-     -> achieved HBM bandwidth vs peak (the "is a Pallas compaction kernel
-     needed?" question of ops/pallas_vm.py item 3);
-  3. XLA's own cost analysis (bytes accessed / FLOPs) for the step;
-  4. a jax.profiler trace (--trace) for offline inspection.
+All timing is VALUE-FORCED (see PERF.md §0): this attachment's
+`block_until_ready` returns before execution, so steps are chained through
+data dependences and a scalar fetch forces the chain; microbenchmarks wrap
+the op in a carry-dependent `lax.scan` and difference two chain lengths.
 
-Writes perf_tpu.json next to this script; PERF.md quotes it.
+Measures:
+  1. full train-step throughput at the 300^3 steady state (f32 and bf16)
+     and the 640^3 no-poses schedule;
+  2. the fused plane-sample primitive in isolation -> effective random-row
+     bandwidth vs the HBM peak (roofline, PERF.md §6);
+  3. the Pallas segment-sum kernel vs the XLA scatter it targets.
+
+Writes perf_tpu.json next to this script.
 """
 
 from __future__ import annotations
@@ -33,53 +36,28 @@ sys.path.insert(0, REPO)
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-# v5e (TPU v5 lite) peaks
-HBM_PEAK_GBS = 819.0
-BF16_PEAK_TFLOPS = 394.0
-F32_GATHER_BYTES = 4
+HBM_PEAK_GBS = 819.0  # v5e
 
 
-def timed(fn, *args, reps=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+def chain_time(step, args, n_lo=3, n_hi=13):
+    """Per-iteration device time via carry-dependent scan + value fetch."""
+
+    def runner(n):
+        @jax.jit
+        def f(c0, *a):
+            c, _ = jax.lax.scan(lambda c, _: (step(c, *a), None), c0, None, length=n)
+            return c
+
+        float(jnp.sum(f(jnp.float32(0), *args)))
+        t0 = time.perf_counter()
+        float(jnp.sum(f(jnp.float32(0), *args)))
+        return time.perf_counter() - t0
+
+    lo, hi = runner(n_lo), runner(n_hi)
+    return (hi - lo) / (n_hi - n_lo)
 
 
-def bench_plane_gather(C: int, H: int, W: int, n_samples: int, strides=(1, 2, 4), dtype=None):
-    """Achieved gather bandwidth of sample_plane at given shapes."""
-    from rodynrf_tpu.ops.grid_sample import sample_plane
-
-    key = jax.random.PRNGKey(0)
-    plane = jax.random.normal(key, (C, H, W), jnp.float32)
-    xy = jax.random.uniform(jax.random.PRNGKey(1), (n_samples, 2), jnp.float32, -1, 1)
-
-    @jax.jit
-    def multi(plane, xy):
-        return sum(
-            jnp.sum(sample_plane(plane, xy, stride=s, gather_dtype=dtype)) for s in strides
-        )
-
-    dt = timed(multi, plane, xy)
-    bpe = 2 if dtype is not None else 4
-    gathered = n_samples * 4 * C * bpe * len(strides)
-    return {
-        "plane": [C, H, W],
-        "dtype": "bf16" if dtype is not None else "f32",
-        "n_samples": n_samples,
-        "strides": list(strides),
-        "time_ms": round(dt * 1e3, 4),
-        "gathered_GB": round(gathered / 1e9, 4),
-        "achieved_GBps": round(gathered / dt / 1e9, 2),
-        "pct_hbm_peak": round(100 * gathered / dt / 1e9 / HBM_PEAK_GBS, 1),
-    }
-
-
-def bench_step(n_voxel: int, label: str, iters=30, trace_dir=None):
+def bench_step(n_voxel: int, label: str, iters=30, bf16=False):
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
 
@@ -97,89 +75,125 @@ def bench_step(n_voxel: int, label: str, iters=30, trace_dir=None):
         f"--fea2denseAct relu --view_pe 0 --fea_pe 0 "
         f"--TV_weight_density 1.0 --TV_weight_app 1.0 "
         f"--distortion_weight_dynamic 0.01 "
-        f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1"
+        f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1 "
+        f"--bf16 {int(bf16)}"
     )
     scene = make_synthetic_scene(T=T, H=H, W=W)
     tr = Trainer(args, scene)
     for _ in range(3):
         m = tr.run_step()
-    jax.block_until_ready(m["total_loss"])
-
-    if trace_dir:
-        with jax.profiler.trace(trace_dir):
-            for _ in range(3):
-                m = tr.run_step()
-            jax.block_until_ready(m["total_loss"])
+    float(m["total_loss"])  # force warmup
 
     t0 = time.perf_counter()
     for _ in range(iters):
         m = tr.run_step()
-    jax.block_until_ready(m["total_loss"])
+    assert np.isfinite(float(m["total_loss"]))  # forces the chain
     dt = (time.perf_counter() - t0) / iters
 
-    # XLA's own cost model for the compiled step
-    cost = {}
-    try:
-        lowered_cost = tr.step_fn.lower(
-            tr.params, tr.opt_state, tr.aabb, tr.data,
-            jnp.zeros(args.batch_size, jnp.int32), jnp.zeros(args.batch_size, jnp.int32),
-            jax.random.PRNGKey(0),
-            {"iteration": jnp.asarray(0, jnp.int32),
-             "focal_fixed": jnp.asarray(tr.focal_fixed, jnp.float32),
-             **{k: jnp.asarray(v, jnp.float32) for k, v in tr.schedule.scalars(0).items()}},
-        ).compile().cost_analysis()
-        if isinstance(lowered_cost, (list, tuple)):
-            lowered_cost = lowered_cost[0]
-        for k in ("flops", "bytes accessed"):
-            if k in lowered_cost:
-                cost[k] = float(lowered_cost[k])
-    except Exception as e:  # cost analysis is best-effort across backends
-        cost["error"] = str(e)
-
-    out = {
+    return {
         "label": label,
+        "bf16": bf16,
         "grid": list(tr.static_cfg.grid_size),
         "n_samples": tr.n_samples,
+        "remat": tr._remat_policy(),
         "steps_per_sec": round(1.0 / dt, 2),
         "rays_per_sec": round(1024 / dt, 1),
         "step_ms": round(dt * 1e3, 3),
-        "cost_analysis": cost,
     }
-    if "bytes accessed" in cost:
-        out["achieved_GBps_by_cost_model"] = round(cost["bytes accessed"] / dt / 1e9, 1)
-        out["pct_hbm_peak_by_cost_model"] = round(
-            100 * cost["bytes accessed"] / dt / 1e9 / HBM_PEAK_GBS, 1
+
+
+def bench_fused_gather(n_voxel_side=300):
+    """Fused dynamic-field sample op in isolation (forward)."""
+    from rodynrf_tpu.fields.static import init_vm
+    from rodynrf_tpu.ops.fused_vm import pack_vm, sample_vm_fused
+
+    gs = {300: (331, 368, 220), 640: (706, 786, 471)}[n_voxel_side]
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    grids = [
+        init_vm(ks[0], [16, 4, 4], gs),
+        init_vm(ks[1], [16, 4, 4], gs),
+        init_vm(ks[2], [48, 12, 12], gs),
+    ]
+    N = 276480
+    xyz = jax.random.uniform(ks[3], (N, 3), jnp.float32, -0.99, 0.99)
+    out = {}
+    for dt, lab in [(None, "f32"), (jnp.bfloat16, "bf16")]:
+        packed = jax.tree_util.tree_map(
+            jnp.asarray, pack_vm(grids, strides=(1, 2, 4), gather_dtype=dt)
         )
-    if "flops" in cost:
-        out["achieved_TFLOPs"] = round(cost["flops"] / dt / 1e12, 2)
+
+        def f(c, packed):
+            outs = sample_vm_fused(packed, xyz + c * 1e-30)
+            return c + sum(jnp.sum(o) for o in outs)
+
+        per = chain_time(f, (packed,))
+        rows = 9 * N
+        row_bytes = 4 * 80 * (2 if dt is not None else 4)
+        gbps = rows * row_bytes / per / 1e9
+        out[lab] = {
+            "ms": round(per * 1e3, 2),
+            "rows": rows,
+            "Midx_per_s": round(rows / per / 1e6, 1),
+            "eff_random_row_GBps": round(gbps, 1),
+            "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBS, 1),
+        }
     return out
 
 
+def bench_scatter_vs_pallas():
+    from rodynrf_tpu.ops.pallas_segsum import segment_rows_sum
+
+    H, W = 332, 369
+    R = H * W
+    key = jax.random.PRNGKey(0)
+    p0 = jax.random.uniform(key, (1024, 2), jnp.float32, 0, 1)
+    p1 = jax.random.uniform(jax.random.PRNGKey(1), (1024, 2), jnp.float32, 0, 1)
+    t = jnp.linspace(0, 1, 270)
+    pts = p0[:, None, :] + (p1 - p0)[:, None, :] * t[None, :, None]
+    parts = []
+    for s in (1, 2, 4):
+        Ws, Hs = (W - 2) // s, (H - 2) // s
+        xs = (pts[..., 0] * (Ws - 1)).astype(jnp.int32).reshape(-1)
+        ys = (pts[..., 1] * (Hs - 1)).astype(jnp.int32).reshape(-1)
+        parts.append(ys * W + xs)
+    idx = jnp.concatenate(parts)
+    N3 = idx.shape[0]
+    upd = jax.random.normal(jax.random.PRNGKey(2), (N3, 320), jnp.bfloat16)
+
+    def xla(c, upd, idx):
+        i = idx + (c * 1e-30).astype(jnp.int32)
+        return c + jnp.sum(
+            jnp.zeros((R, 320), jnp.bfloat16).at[i].add(upd).astype(jnp.float32)
+        )
+
+    def pallas(c, upd, idx):
+        i = idx + (c * 1e-30).astype(jnp.int32)
+        return c + jnp.sum(segment_rows_sum(i, upd, R))
+
+    return {
+        "n_updates": int(N3),
+        "xla_scatter_ms": round(chain_time(xla, (upd, idx)) * 1e3, 2),
+        "pallas_segsum_ms": round(chain_time(pallas, (upd, idx)) * 1e3, 2),
+        "note": "XLA scatter is the default backward; kernel kept as tested baseline (PERF.md §4)",
+    }
+
+
 def main():
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-    results = {"device": str(dev)}
+    results = {"device": str(jax.devices()[0]), "method": "value-forced chained timing"}
+    results["step_300_f32"] = bench_step(300 ** 3, "300^3 steady state f32")
+    print(json.dumps(results["step_300_f32"]), flush=True)
+    results["step_300_bf16"] = bench_step(300 ** 3, "300^3 steady state bf16", bf16=True)
+    print(json.dumps(results["step_300_bf16"]), flush=True)
+    if "--full" in sys.argv:
+        results["step_640"] = bench_step(640 ** 3, "640^3 no-poses schedule", iters=10, bf16=True)
+        print(json.dumps(results["step_640"]), flush=True)
+    results["fused_gather_300"] = bench_fused_gather(300)
+    print(json.dumps(results["fused_gather_300"]), flush=True)
+    results["scatter"] = bench_scatter_vs_pallas()
+    print(json.dumps(results["scatter"]), flush=True)
 
-    # 1+3: full step at both schedules (trace only the 640^3 one)
-    trace = os.path.join(HERE, "..", "perf_trace") if "--trace" in sys.argv else None
-    results["step_300"] = bench_step(300 ** 3, "300^3 steady state")
-    results["step_640"] = bench_step(640 ** 3, "640^3 no-poses schedule", trace_dir=trace)
-
-    # 2: isolated plane gather at the 640^3 app-plane shapes.
-    # grid ~[706, 786, 471]; the xy app plane [48, 786, 706] is the largest
-    # texture (106 MB f32 — far beyond VMEM).
-    n = 1024 * results["step_640"]["n_samples"]
-    results["gather_640_app_xy_f32"] = bench_plane_gather(48, 786, 706, n)
-    results["gather_640_app_xy_bf16"] = bench_plane_gather(48, 786, 706, n, dtype=jnp.bfloat16)
-    results["gather_640_density_xy_f32"] = bench_plane_gather(16, 786, 706, n)
-    # 300^3 steady-state shape for contrast (VMEM-resident regime)
-    n300 = 1024 * results["step_300"]["n_samples"]
-    results["gather_300_app_xy_f32"] = bench_plane_gather(48, 393, 330, n300)
-
-    path = os.path.join(HERE, "perf_tpu.json")
-    with open(path, "w") as fh:
+    with open(os.path.join(HERE, "perf_tpu.json"), "w") as fh:
         json.dump(results, fh, indent=1)
-    print(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":
