@@ -225,20 +225,42 @@ def sample_vm_fused(packed: PackedVM, xyz: jnp.ndarray) -> List[jnp.ndarray]:
                     ]
                 )  # [4, N]
             )
-        vals = jnp.take(packed.tables[o], jnp.concatenate(idx_list), axis=0)
-        vals = vals.astype(jnp.float32).reshape(nS, N, 4, Cp)
-        w = jnp.stack(w_list)  # [nS, 4, N]
-        plane_feats = (
-            vals[:, :, 0] * w[:, 0, :, None]
-            + vals[:, :, 1] * w[:, 1, :, None]
-            + vals[:, :, 2] * w[:, 2, :, None]
-            + vals[:, :, 3] * w[:, 3, :, None]
-        )  # [nS, N, Cp]
+        # One combined take amortizes per-gather overhead (train-step shapes);
+        # above ~2M rows the [nS*N, 4*Cp] intermediate dominates HBM (a chunk-
+        # 8192 eval render would materialize >20 GB), so large batches take
+        # per-stride instead — the gathered values and all arithmetic are
+        # identical either way.
+        if nS * N <= 1_500_000:
+            vals = jnp.take(packed.tables[o], jnp.concatenate(idx_list), axis=0)
+            vals = vals.astype(jnp.float32).reshape(nS, N, 4, Cp)
+            w = jnp.stack(w_list)  # [nS, 4, N]
+            plane_feats = (
+                vals[:, :, 0] * w[:, 0, :, None]
+                + vals[:, :, 1] * w[:, 1, :, None]
+                + vals[:, :, 2] * w[:, 2, :, None]
+                + vals[:, :, 3] * w[:, 3, :, None]
+            )  # [nS, N, Cp]
+            stride_feats = [plane_feats[si] for si in range(nS)]
+        else:
+            stride_feats = []
+            for si in range(nS):
+                v4 = (
+                    jnp.take(packed.tables[o], idx_list[si], axis=0)
+                    .astype(jnp.float32)
+                    .reshape(N, 4, Cp)
+                )
+                ws = w_list[si]  # [4, N]
+                stride_feats.append(
+                    v4[:, 0] * ws[0, :, None]
+                    + v4[:, 1] * ws[1, :, None]
+                    + v4[:, 2] * ws[2, :, None]
+                    + v4[:, 3] * ws[3, :, None]
+                )
         for si in range(nS):
             line = _line_feats(
                 packed.line_tables[o][si], z_u, meta["line_dims"][o][si]
             )
-            prod = plane_feats[si] * line  # [N, Cp]
+            prod = stride_feats[si] * line  # [N, Cp]
             c0 = 0
             for gi, cg in enumerate(meta["c_splits"][o]):
                 per_grid[gi][si * 3 + o] = prod[:, c0 : c0 + cg]
