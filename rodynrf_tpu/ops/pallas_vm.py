@@ -1,32 +1,20 @@
-"""Pallas kernel study for the VM sampling primitive — and why XLA wins here.
+"""Round-1 Pallas kernel study for the VM sampling primitive (superseded).
 
-The framework's hot primitive is scattered bilinear sampling of plane/line
-grids (the reference's `F.grid_sample` chains, tensoRF.py:670-718). We
-evaluated a fused Pallas kernel (plane pinned in VMEM; per sample tile:
-4 corner gathers -> lerp -> plane ⊙ line -> channel reduce, across all
-strides) and measured the XLA baseline. Findings (TPU v5e, jax 0.9 Mosaic):
+Historical module: round 1 concluded from its measurements that XLA's
+gather "runs at VMEM-resident speed" and kept a thin XLA routing layer
+here. Round 2's value-forced timing (PERF.md §0) showed those measurements
+were dispatch-rate artifacts of the tunneled TPU attachment: XLA's gather
+is actually index-rate-bound at ~90-370 M rows/s and the train step was
+gather-bound end to end. The finding that Mosaic cannot express scattered
+table-lookup row-gathers ("Cannot do int indexing on TPU"; DynamicGatherOp
+is a within-shape permutation along lanes) remains true and shaped the
+production design.
 
-1. **Mosaic cannot express scattered row-gathers.** Integer-array indexing
-   on a VMEM ref raises "Cannot do int indexing on TPU", and the underlying
-   DynamicGatherOp requires input/indices/output to share a shape (it is a
-   within-shape permutation gather, not a table lookup). A table lookup
-   [H*W, C] x [T] -> [T, C] has no efficient Mosaic encoding; per-row DMA
-   costs ~1 µs/row, orders of magnitude too slow.
-
-2. **XLA's native gather already runs at VMEM-resident speed** at the
-   shipped grid schedules: at the 300³ steady state every plane is ≤ ~8 MB
-   and the measured render path does ~50M rays/s/chip (~2.2M samples / 1.6 ms
-   with ~45 gathered texel-rows per sample) — consistent with on-chip, not
-   HBM, bandwidth. A hand kernel has no traffic left to remove.
-
-3. The genuinely open case is the 640³ no-poses schedule where app planes
-   (~26 MB) exceed VMEM residency. The right kernel there is a
-   sort-by-tile compaction sampler (bucket samples by plane tile, DMA tiles
-   once, process per-bucket) — a planned follow-up, not a micro-fusion.
-
-This module keeps the intended public API; `sample_vm_sum_fused` currently
-routes to the XLA sampler (which these measurements show is the fastest
-correct implementation available on this toolchain).
+The production sampler now lives in `ops/fused_vm.py` (corner/channel/
+stride-packed mega-table gather + MXU line matmuls; 12x fewer gathered
+rows), with `ops/pallas_segsum.py` as the measured Pallas baseline for the
+scatter-shaped backward. This module keeps its small API for compatibility;
+both functions route to the reference-semantics XLA sampler.
 """
 
 from __future__ import annotations
