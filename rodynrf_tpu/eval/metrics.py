@@ -67,6 +67,24 @@ def rgb_ssim(
 
 
 _LPIPS_CACHE = {}
+_LPIPS_MISS_LOGGED = set()
+
+
+def _torch_lpips_fallback(np_gt, np_im, net_name):
+    """Score with the torch `lpips` pip package if present; else None."""
+    try:
+        import lpips
+        import torch
+    except ImportError:
+        return None
+    if net_name not in _LPIPS_CACHE:
+        _LPIPS_CACHE[net_name] = lpips.LPIPS(net=net_name, version="0.1").eval()
+    import numpy as np
+
+    gt = torch.from_numpy(np.ascontiguousarray(np_gt.transpose(2, 0, 1)))
+    im = torch.from_numpy(np.ascontiguousarray(np_im.transpose(2, 0, 1)))
+    with torch.no_grad():
+        return float(_LPIPS_CACHE[net_name](gt, im, normalize=True).item())
 
 
 def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex"):
@@ -90,24 +108,18 @@ def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex"):
 
             _LPIPS_CACHE[key] = load_lpips_torch_checkpoint(path, net_name)
         else:
-            _LPIPS_CACHE[key] = None
-    if _LPIPS_CACHE[key] is not None:
-        from .lpips_jax import lpips as lpips_jax
+            # do NOT cache the miss: weights may appear later in the process
+            # (env set after import, path typo fixed mid-run); re-check each
+            # call so mean.txt doesn't silently lose its lpips columns
+            if key not in _LPIPS_MISS_LOGGED:
+                print(f"[lpips] no weights for '{net_name}' "
+                      "(set $LPIPS_WEIGHTS_DIR); scoring without lpips")
+                _LPIPS_MISS_LOGGED.add(key)
+            return _torch_lpips_fallback(np_gt, np_im, net_name)
+    from .lpips_jax import lpips as lpips_jax
 
-        d = lpips_jax(_LPIPS_CACHE[key], np_gt[None], np_im[None], net_name)
-        return float(np.asarray(d)[0])
-
-    try:
-        import lpips
-        import torch
-    except ImportError:
-        return None
-    if net_name not in _LPIPS_CACHE:
-        _LPIPS_CACHE[net_name] = lpips.LPIPS(net=net_name, version="0.1").eval()
-    gt = torch.from_numpy(np.ascontiguousarray(np_gt.transpose(2, 0, 1)))
-    im = torch.from_numpy(np.ascontiguousarray(np_im.transpose(2, 0, 1)))
-    with torch.no_grad():
-        return float(_LPIPS_CACHE[net_name](gt, im, normalize=True).item())
+    d = lpips_jax(_LPIPS_CACHE[key], np_gt[None], np_im[None], net_name)
+    return float(np.asarray(d)[0])
 
 
 def visualize_depth_numpy(depth: np.ndarray, minmax=None, cmap_id=None):

@@ -3,6 +3,8 @@ from .grid_sample import (
     sample_line,
     sample_vm,
     sample_vm_sum,
+    sample_vm_sum_fused,
+    vm_axis_sum,
     sample_grid3d,
     resize_bilinear_align_corners,
     resize_line_align_corners,
@@ -12,4 +14,3 @@ from .grid_sample import (
 from .compositing import raw2alpha, raw2outputs, RenderOutputs
 from .distortion import eff_distloss
 from .regularizers import tv_loss_plane, tv_loss_line, tv_loss_vm, vm_outer_l1, line_orthogonality
-from .pallas_vm import sample_vm_sum_fused, vm_axis_sum

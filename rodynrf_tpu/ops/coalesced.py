@@ -1,0 +1,267 @@
+"""Coalesced-gradient plane sampling: custom VJP for the mega-table take.
+
+The hot train-step primitive is `take(table, rows)` + bilinear corner
+weighting (ops/fused_vm.py). Its autodiff backward is an XLA scatter-add,
+which on TPU serializes per index at ~50 Midx/s regardless of dtype/width/
+sortedness (PERF.md §1) — ~40% of the round-2 train step.
+
+This module replaces that backward with a TPU-native pipeline that exploits
+two structural facts:
+
+  * ray samples hit each table row with high duplication (2.5x at stride 1
+    up to ~40x at stride 4 — 270 samples/ray walk few distinct texels), and
+  * a segment-sum over SORTED keys is a small-one-hot MATMUL per output
+    block — MXU work, not serialized index work.
+
+Backward table-gradient = sort keys (XLA, ~1 ms/M) → permute cotangents
+(one index-bound take) → stream the sorted (key, w4, ct) rows once through
+a Pallas kernel that walks output blocks of G texels in key order,
+accumulating  grad[(texel, corner), :] += w4[corner] * ct[row, :]  as a
+[4G, CH] x [CH, C] matmul per (chunk, overlapped block), flushing each
+finished block with one DMA. Input is read exactly once (streaming), the
+output written exactly once — no scatter anywhere.
+
+The kernel also consumes the *factored* cotangent (w4 [M,4] and ct [M,C]
+separately) instead of the materialized [M, 4C] corner outer product the
+XLA backward would build — 4x less gradient traffic.
+
+Reference semantics anchor: the grid_sample backward of
+models/tensoRF.py:118-196 (torch autograd scatter into plane grids).
+
+Non-TPU platforms (CPU tests, golden runs) use a mathematically identical
+jnp scatter fallback; parity is asserted by tests/test_coalesced.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def planes_sample(table: jnp.ndarray, rows: jnp.ndarray, w4: jnp.ndarray,
+                  impl: str = "auto") -> jnp.ndarray:
+    """Corner-packed plane sampling: feats[m] = Σ_k w4[m,k] · table[rows[m], k·C:(k+1)·C].
+
+    table: [R, 4C] corner-packed rows (ops/fused_vm.pack_vm layout)
+    rows:  [M] int32 row ids (in range; OOB handled upstream via `valid`)
+    w4:    [M, 4] f32 bilinear corner weights (already × valid mask)
+    impl:  'auto' | 'xla' | 'pallas' — backward table-grad implementation.
+
+    Differentiable w.r.t. table and w4. Forward math is identical to
+    take + corner weighting in f32 (ops/fused_vm.sample_vm_fused).
+    """
+    return _fwd_math(table, rows, w4)
+
+
+def _fwd_math(table, rows, w4):
+    M = rows.shape[0]
+    C4 = table.shape[1]
+    C = C4 // 4
+    vals = jnp.take(table, rows, axis=0).astype(jnp.float32).reshape(M, 4, C)
+    return (
+        vals[:, 0] * w4[:, 0, None]
+        + vals[:, 1] * w4[:, 1, None]
+        + vals[:, 2] * w4[:, 2, None]
+        + vals[:, 3] * w4[:, 3, None]
+    )
+
+
+def _planes_sample_fwd(table, rows, w4, impl):
+    return _fwd_math(table, rows, w4), (table, rows, w4)
+
+
+def _planes_sample_bwd(impl, res, ct):
+    table, rows, w4 = res
+    M = rows.shape[0]
+    C4 = table.shape[1]
+    C = C4 // 4
+    # w4 cotangent: <vals[m, k, :], ct[m, :]> — re-take the rows instead of
+    # storing [M, 4, C] activations (index ops are cheaper than HBM here)
+    vals = jnp.take(table, rows, axis=0).astype(jnp.float32).reshape(M, 4, C)
+    ct_w4 = jnp.einsum("mc,mkc->mk", ct, vals)
+
+    ct_table = coalesce_table_grad(rows, w4, ct, table.shape[0], impl=impl)
+    return ct_table.astype(table.dtype), None, ct_w4
+
+
+planes_sample.defvjp(_planes_sample_fwd, _planes_sample_bwd)
+
+
+# ---------------------------------------------------------------------------
+# table-gradient implementations
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - device query failure
+        return False
+
+
+def coalesce_table_grad(rows, w4, ct, R: int, impl: str = "auto") -> jnp.ndarray:
+    """grad[r, k·C+c] = Σ_{m: rows[m]=r} w4[m,k] · ct[m,c]  →  [R, 4C] f32."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        return _coalesce_pallas(rows, w4, ct, R)
+    return _coalesce_xla(rows, w4, ct, R)
+
+
+def _coalesce_xla(rows, w4, ct, R: int) -> jnp.ndarray:
+    """Reference implementation: plain scatter-add in f32."""
+    M, C = ct.shape
+    upd = (w4[:, :, None] * ct[:, None, :]).reshape(M, 4 * C)
+    return jnp.zeros((R, 4 * C), jnp.float32).at[rows].add(upd.astype(jnp.float32))
+
+
+# --- Pallas streaming coalesce ---------------------------------------------
+
+_G_TEXELS = 256       # output block: G texels = 4G gradient rows
+_CHUNK = 2048         # sorted input rows consumed per grid step
+
+
+def _coalesce_kernel(keys_ref, wct_ref, out_ref, base_ref, acc_ref, sem,
+                     *, C: int, G: int, CH: int, n_blocks: int):
+    """One grid step = one chunk of CH sorted entries.
+
+    Walks the (sorted) key stream against output blocks of G texels held in
+    a [4G, C] f32 VMEM accumulator; finished blocks stream out via DMA.
+    base_ref (SMEM) carries the current block index across grid steps.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    @pl.when(c == 0)
+    def _init():
+        base_ref[0] = 0
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    keys = keys_ref[0, :]                       # [CH] i32 (sorted, padded w/ R4-space sentinel)
+    w4 = wct_ref[0, :, :4].astype(jnp.float32)  # [CH, 4]
+    ctv = wct_ref[0, :, 4:4 + C]                # [CH, C]
+
+    last_key = keys[CH - 1]
+
+    # row ids of the accumulator: (texel g, corner k) -> 4*g + k, plus the
+    # block base offset in 4*G-row units
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4 * G, CH), 0)
+    texel = r4 >> 2
+    corner = r4 & 3
+    keys_b = keys[None, :]                       # [1, CH] broadcast
+
+    # corner weights per accumulator row: w_b[(g,k), i] = w4[i, k]
+    w_b = jnp.where(corner == 0, w4[None, :, 0], 0.0)
+    w_b = jnp.where(corner == 1, w4[None, :, 1], w_b)
+    w_b = jnp.where(corner == 2, w4[None, :, 2], w_b)
+    w_b = jnp.where(corner == 3, w4[None, :, 3], w_b)
+
+    def accum(block):
+        lo = block * G
+        eq = keys_b == (lo + texel)              # [4G, CH]
+        a_t = jnp.where(eq, w_b, 0.0).astype(ctv.dtype)
+        acc_ref[:] += jax.lax.dot(a_t, ctv, preferred_element_type=jnp.float32)
+
+    def flush(block):
+        cp = pltpu.make_async_copy(
+            acc_ref, out_ref.at[pl.ds(block * 4 * G, 4 * G), :], sem
+        )
+        cp.start()
+        cp.wait()
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def cond(state):
+        block = state
+        return (block + 1 < n_blocks) & (last_key >= (block + 1) * G)
+
+    def body(state):
+        block = state
+        # entries of this chunk belonging to `block` (may be none if the
+        # chunk jumped past several empty blocks)
+        @pl.when(keys[0] < (block + 1) * G)
+        def _():
+            accum(block)
+
+        flush(block)
+        return block + 1
+
+    block = jax.lax.while_loop(cond, body, base_ref[0])
+    # the chunk's tail belongs to the (unfinished) current block
+    @pl.when(keys[0] < (block + 1) * G)
+    def _():
+        accum(block)
+
+    base_ref[0] = block
+
+    # final grid step: flush the current block and zero every later one
+    @pl.when(c == n_chunks - 1)
+    def _tail():
+        def tail_body(b, _):
+            flush(b)
+            return 0
+
+        jax.lax.fori_loop(block, n_blocks, tail_body, 0)
+
+
+def _coalesce_pallas(rows, w4, ct, R: int) -> jnp.ndarray:
+    """sort + permute + streaming Pallas coalesce. Returns [R, 4C] f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, C = ct.shape
+    G, CH = _G_TEXELS, _CHUNK
+    n_blocks = -(-R // G)
+    n_chunks = -(-M // CH)
+    Mp = n_chunks * CH
+
+    rows_s, perm = jax.lax.sort_key_val(rows.astype(jnp.int32),
+                                        jnp.arange(M, dtype=jnp.int32))
+    wct = jnp.concatenate([w4.astype(ct.dtype), ct], axis=1)  # [M, 4+C]
+    wct_s = jnp.take(wct, perm, axis=0)
+    if Mp != M:
+        # sentinel key: last texel of the last block with zero weights —
+        # contributes nothing, keeps the stream sorted
+        rows_s = jnp.concatenate(
+            [rows_s, jnp.full((Mp - M,), n_blocks * G - 1, jnp.int32)])
+        wct_s = jnp.concatenate(
+            [wct_s, jnp.zeros((Mp - M, 4 + C), wct_s.dtype)])
+
+    keys2 = rows_s.reshape(n_chunks, CH)
+    wct2 = wct_s.reshape(n_chunks, CH, 4 + C)
+
+    kernel = functools.partial(
+        _coalesce_kernel, C=C, G=G, CH=CH, n_blocks=n_blocks)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, CH), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH, 4 + C), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * 4 * G, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((4 * G, C), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(keys2, wct2)
+
+    # [(texel, corner), C] rows -> [texel, 4C] (row-major bitcast reshape)
+    return out.reshape(n_blocks * G, 4 * C)[:R]

@@ -23,8 +23,9 @@ exact zeros instead of needing per-corner masks: table row (y, x) holds
 [P(y,x), P(y,x+1), P(y+1,x), P(y+1,x+1)] over the zero-padded plane, and a
 single per-sample `valid` factor handles fully-out-of-range queries. The
 arithmetic (value * mask * weight ordering, f32 accumulation, stride-s
-virtual grids) is bit-compatible with `sample_vm` — asserted by
-tests/test_fused_vm.py.
+virtual grids) is numerically equivalent to `sample_vm` (<=1e-6, asserted by
+tests/test_fused_vm.py; the hat-matrix line matmul under Precision.HIGHEST
+may differ from scalar f32 FMA in the last ulp on TPU).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from typing import Any, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .coalesced import planes_sample
 from .grid_sample import MAT_MODE, VEC_MODE, _strided_len
 
 Grid = Tuple[Sequence[jnp.ndarray], Sequence[jnp.ndarray]]  # (planes, lines)
@@ -229,33 +231,19 @@ def sample_vm_fused(packed: PackedVM, xyz: jnp.ndarray) -> List[jnp.ndarray]:
         # above ~2M rows the [nS*N, 4*Cp] intermediate dominates HBM (a chunk-
         # 8192 eval render would materialize >20 GB), so large batches take
         # per-stride instead — the gathered values and all arithmetic are
-        # identical either way.
+        # identical either way. Sampling + corner weighting go through the
+        # coalesced-gradient custom VJP (ops/coalesced.py): identical forward
+        # math, sort+matmul backward instead of XLA scatter.
         if nS * N <= 1_500_000:
-            vals = jnp.take(packed.tables[o], jnp.concatenate(idx_list), axis=0)
-            vals = vals.astype(jnp.float32).reshape(nS, N, 4, Cp)
-            w = jnp.stack(w_list)  # [nS, 4, N]
-            plane_feats = (
-                vals[:, :, 0] * w[:, 0, :, None]
-                + vals[:, :, 1] * w[:, 1, :, None]
-                + vals[:, :, 2] * w[:, 2, :, None]
-                + vals[:, :, 3] * w[:, 3, :, None]
-            )  # [nS, N, Cp]
-            stride_feats = [plane_feats[si] for si in range(nS)]
+            rows_cat = jnp.concatenate(idx_list)
+            w4_cat = jnp.concatenate([w.T for w in w_list])  # [nS*N, 4]
+            feats = planes_sample(packed.tables[o], rows_cat, w4_cat)
+            stride_feats = [feats[si * N : (si + 1) * N] for si in range(nS)]
         else:
-            stride_feats = []
-            for si in range(nS):
-                v4 = (
-                    jnp.take(packed.tables[o], idx_list[si], axis=0)
-                    .astype(jnp.float32)
-                    .reshape(N, 4, Cp)
-                )
-                ws = w_list[si]  # [4, N]
-                stride_feats.append(
-                    v4[:, 0] * ws[0, :, None]
-                    + v4[:, 1] * ws[1, :, None]
-                    + v4[:, 2] * ws[2, :, None]
-                    + v4[:, 3] * ws[3, :, None]
-                )
+            stride_feats = [
+                planes_sample(packed.tables[o], idx_list[si], w_list[si].T)
+                for si in range(nS)
+            ]
         for si in range(nS):
             line = _line_feats(
                 packed.line_tables[o][si], z_u, meta["line_dims"][o][si]

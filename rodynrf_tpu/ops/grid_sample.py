@@ -202,3 +202,26 @@ def resize_line_align_corners(line: jnp.ndarray, out_len: int) -> jnp.ndarray:
     C, L = line.shape
     Ml = _interp_matrix(out_len, L, line.dtype)
     return jax.lax.dot(line, Ml.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def vm_axis_sum(plane, line, xy, z, strides=(1,)) -> jnp.ndarray:
+    """Σ_strides Σ_c bilerp(plane)⊙lerp(line) for one VM axis -> [N].
+
+    (Helper composition of the XLA sampler; formerly ops/pallas_vm.py —
+    the round-1 Pallas sampler study whose findings now live in PERF.md.)"""
+    total = 0.0
+    for s in strides:
+        p = sample_plane(plane, xy, stride=s)
+        l = sample_line(line, z, stride=s)
+        total = total + jnp.sum(p * l, axis=-1)
+    return total
+
+
+def sample_vm_sum_fused(planes, lines, xyz: jnp.ndarray, strides=(1,)) -> jnp.ndarray:
+    """Multiscale Σ-product over all 3 VM axes -> [N]."""
+    total = jnp.zeros(xyz.shape[0], xyz.dtype)
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        total = total + vm_axis_sum(planes[i], lines[i], xyz[:, (m0, m1)], xyz[:, v], strides)
+    return total

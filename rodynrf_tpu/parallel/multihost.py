@@ -29,15 +29,30 @@ def global_mesh(axis: str = "data") -> Mesh:
     return Mesh(np.asarray(jax.devices()), (axis,))
 
 
-def process_span(n_global: int) -> tuple[int, int]:
+def process_span(n_global: int, sharding: NamedSharding | None = None) -> tuple[int, int]:
     """This process's contiguous [start, end) span of a length-n_global batch
-    laid out over jax.devices() order (device i holds rows
-    [i*n/D, (i+1)*n/D))."""
-    n_dev = jax.device_count()
-    per_dev = n_global // n_dev
-    local = sorted(d.id for d in jax.local_devices())
-    # devices of one process are contiguous in id order on TPU pods
-    return local[0] * per_dev, (local[-1] + 1) * per_dev
+    under ``sharding`` (default: 1-D "data" mesh over jax.devices()).
+
+    Derived from the sharding's own device->index map — not from raw device
+    ids — so any mesh/device-order divergence surfaces as a hard error here
+    instead of silently feeding wrong rows downstream."""
+    if sharding is None:
+        sharding = NamedSharding(global_mesh(), P("data"))
+    index_map = sharding.devices_indices_map((n_global,))
+    spans = []
+    for dev in sharding.addressable_devices:
+        (sl,) = index_map[dev]
+        spans.append((0 if sl.start is None else sl.start,
+                      n_global if sl.stop is None else sl.stop))
+    spans.sort()
+    start, end = spans[0][0], spans[-1][1]
+    covered = sum(e - s for s, e in spans)
+    if covered != end - start:
+        raise ValueError(
+            f"process's addressable shards are not contiguous in the global "
+            f"batch: {spans}; multihost feeding requires a contiguous span"
+        )
+    return start, end
 
 
 def global_batch_from_local(mesh: Mesh, global_idx: np.ndarray, axis: str = "data"):
@@ -47,7 +62,7 @@ def global_batch_from_local(mesh: Mesh, global_idx: np.ndarray, axis: str = "dat
     sharding = NamedSharding(mesh, P(axis))
     if jax.process_count() == 1:
         return jax.device_put(np.asarray(global_idx), sharding)
-    start, end = process_span(len(global_idx))
+    start, end = process_span(len(global_idx), sharding)
     return jax.make_array_from_process_local_data(
         sharding, np.asarray(global_idx[start:end]), global_shape=(len(global_idx),)
     )

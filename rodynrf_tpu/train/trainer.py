@@ -123,10 +123,20 @@ class Trainer:
 
             d = math.gcd(args.batch_size, n_dev)
             if d != n_dev:
-                print(
+                msg = (
                     f"[parallel] batch_size {args.batch_size} does not divide "
                     f"{n_dev} devices; sharding rays over {d} device(s)"
                 )
+                if d * 2 <= n_dev:
+                    import warnings
+
+                    warnings.warn(
+                        msg + f" — {n_dev - d} of {n_dev} devices will sit IDLE. "
+                        "Pick a batch_size divisible by the device count.",
+                        stacklevel=2,
+                    )
+                else:
+                    print(msg)
             n_dev = d
         if n_dev > 1:
             from ..parallel import global_mesh, make_mesh, shard_train_inputs

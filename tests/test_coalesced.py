@@ -1,0 +1,127 @@
+"""Parity tests for the coalesced-gradient plane sampler (ops/coalesced.py).
+
+The custom VJP must match plain autodiff of the take+weight math exactly
+(forward) and numerically (backward), and the Pallas streaming kernel
+(interpret mode on CPU) must match the XLA scatter fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rodynrf_tpu.ops.coalesced import (
+    _coalesce_xla,
+    _fwd_math,
+    coalesce_table_grad,
+    planes_sample,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _data(M=3000, R=257, C=12, dup_hot=True, dtype=jnp.float32):
+    rows = RNG.integers(0, R, M)
+    if dup_hot:  # mimic stride-4 duplication hot spots
+        rows[: M // 3] = RNG.integers(0, max(R // 40, 2), M // 3)
+    table = jnp.asarray(RNG.standard_normal((R, 4 * C)), dtype)
+    w4 = jnp.asarray(RNG.uniform(0, 1, (M, 4)), jnp.float32)
+    ct = jnp.asarray(RNG.standard_normal((M, C)), jnp.float32)
+    return table, jnp.asarray(rows, jnp.int32), w4, ct
+
+
+def test_forward_matches_naive():
+    table, rows, w4, _ = _data()
+    got = planes_sample(table, rows, w4)
+    want = _fwd_math(table, rows, w4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_backward_matches_autodiff():
+    table, rows, w4, ct = _data()
+
+    def loss_custom(t, w):
+        return jnp.sum(planes_sample(t, rows, w, "xla") * ct)
+
+    def loss_naive(t, w):
+        return jnp.sum(_fwd_math(t, rows, w) * ct)
+
+    gt_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(table, w4)
+    gt_n, gw_n = jax.grad(loss_naive, argnums=(0, 1))(table, w4)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_n), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_n), rtol=0, atol=1e-4)
+
+
+def test_backward_bf16_table():
+    table, rows, w4, ct = _data(dtype=jnp.bfloat16)
+
+    def loss(t, w):
+        return jnp.sum(planes_sample(t, rows, w, "xla") * ct)
+
+    gt, gw = jax.grad(loss, argnums=(0, 1))(table, w4)
+    assert gt.dtype == jnp.bfloat16
+    ref = _coalesce_xla(rows, w4, ct, table.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(gt, np.float32), np.asarray(ref, np.float32), rtol=0.02, atol=0.02
+    )
+
+
+def test_coalesce_xla_matches_dense():
+    table, rows, w4, ct = _data(M=500, R=64, C=5)
+    got = _coalesce_xla(rows, w4, ct, 64)
+    want = np.zeros((64, 20), np.float32)
+    for m in range(500):
+        want[int(rows[m])] += np.kron(np.asarray(w4[m]), np.asarray(ct[m]))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("M,R,C", [(3000, 257, 12), (2048, 64, 8), (100, 1000, 4)])
+def test_pallas_interpret_matches_xla(M, R, C):
+    table, rows, w4, ct = _data(M=M, R=R, C=C)
+    want = _coalesce_xla(rows, w4, ct, R)
+
+    import rodynrf_tpu.ops.coalesced as co
+    from unittest import mock
+
+    # interpret-mode pallas_call on CPU
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = co._coalesce_pallas(rows, w4, ct, R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_interpret_sorted_and_empty_blocks():
+    """Keys concentrated in few blocks far apart: exercises empty-block
+    walking and the final-flush tail."""
+    R, C, M = 4096, 8, 600
+    rows = np.concatenate([
+        RNG.integers(0, 10, M // 3),
+        RNG.integers(2000, 2010, M // 3),
+        RNG.integers(R - 5, R, M - 2 * (M // 3)),
+    ])
+    table = jnp.asarray(RNG.standard_normal((R, 4 * C)), jnp.float32)
+    w4 = jnp.asarray(RNG.uniform(0, 1, (M, 4)), jnp.float32)
+    ct = jnp.asarray(RNG.standard_normal((M, C)), jnp.float32)
+    rows = jnp.asarray(rows, jnp.int32)
+    want = _coalesce_xla(rows, w4, ct, R)
+
+    import rodynrf_tpu.ops.coalesced as co
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = co._coalesce_pallas(rows, w4, ct, R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

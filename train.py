@@ -20,6 +20,12 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 import jax
 import numpy as np
 
+# The axon TPU plugin takes precedence over the JAX_PLATFORMS env var; apply
+# it through the config API so `JAX_PLATFORMS=cpu python train.py ...`
+# actually forces the CPU backend on TPU-attached machines.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -153,17 +159,26 @@ def _tb_vis_images(trainer, scene, args, writer, it):
     # GT families (reference: train.py:2540-2580 + renderer.py:641-643)
     if scene.rgbs_stack is not None:
         images("gt_maps", scene.rgbs_stack[idxs])
-    gt_flows_f = scene.flows_f.reshape(T, H, W, 2)
-    gt_flows_b = scene.flows_b.reshape(T, H, W, 2)
-    images("gt_flow_f", np.stack([flow_to_image(f) / 255.0 for f in gt_flows_f[idxs]]))
-    images("gt_flow_b", np.stack([flow_to_image(f) / 255.0 for f in gt_flows_b[idxs]]))
-    gt_masks = scene.fg_masks.reshape(T, H, W)[idxs]
-    images("gt_blending_maps", np.repeat(gt_masks[..., None], 3, -1))
-    disps = scene.disps.reshape(T, H, W)[idxs]
-    images(
-        "monodepth_tb",
-        np.stack([visualize_depth_numpy(d)[0] / 255.0 for d in disps]),
-    )
+    if scene.flows_f is not None and scene.flows_b is not None:
+        gt_flows_f = scene.flows_f.reshape(T, H, W, 2)
+        gt_flows_b = scene.flows_b.reshape(T, H, W, 2)
+        images("gt_flow_f", np.stack([flow_to_image(f) / 255.0 for f in gt_flows_f[idxs]]))
+        images("gt_flow_b", np.stack([flow_to_image(f) / 255.0 for f in gt_flows_b[idxs]]))
+    else:
+        print("[vis] scene has no GT flows; skipping gt_flow_f/gt_flow_b")
+    if scene.fg_masks is not None:
+        gt_masks = scene.fg_masks.reshape(T, H, W)[idxs]
+        images("gt_blending_maps", np.repeat(gt_masks[..., None], 3, -1))
+    else:
+        print("[vis] scene has no GT masks; skipping gt_blending_maps")
+    if scene.disps is not None:
+        disps = scene.disps.reshape(T, H, W)[idxs]
+        images(
+            "monodepth_tb",
+            np.stack([visualize_depth_numpy(d)[0] / 255.0 for d in disps]),
+        )
+    else:
+        print("[vis] scene has no monodepth; skipping monodepth_tb")
 
 
 def reconstruction(args):
