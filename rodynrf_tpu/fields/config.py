@@ -36,6 +36,10 @@ class FieldConfig:
     # 'bfloat16' halves texture-gather traffic / VMEM footprint (lerp stays
     # f32); 'float32' is bit-exact with the reference
     grid_sample_dtype: str = "float32"
+    # multiscale table layout: 'merged' gathers ONE row per sample per
+    # orientation (3x fewer indices both directions, ~2.3x more table HBM),
+    # 'strided' one per stride; 'auto' picks by memory (ops/fused_vm.pack_vm)
+    vm_layout: str = "auto"
 
     @property
     def gather_dtype(self):

@@ -140,20 +140,16 @@ def app_feature(params, cfg: FieldConfig, xyz_warped_n) -> jnp.ndarray:
     return feats @ params["basis_mat"]
 
 
-def all_features_fused(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n):
-    """Density, blending, and appearance features in ONE fused mega-take.
+def pack_tables(params, cfg: FieldConfig):
+    """Build the fused gather tables for the dynamic field's three grids.
 
-    The three grids are always sampled at the same warped coordinates
-    (reference: tensoRF.py:646-811 evaluates them back to back), so their
-    multiscale plane gathers share indices — packing them into one
-    corner-packed table cuts gathered rows 12x (ops/fused_vm.py). Outputs are
-    bit-identical to density_feature/blending_feature/app_feature.
+    Hoist this OUT of per-pass evaluation code (train/step.py builds it once
+    per step, render code once per frame): the table construction — and with
+    the merged layout its static-index takes — must not re-run per render
+    pass or per remat recomputation."""
+    from ..ops.fused_vm import pack_vm
 
-    Returns (sigma_raw [N], blending_raw [N], app [N, app_dim]).
-    """
-    from ..ops.fused_vm import pack_vm, sample_vm_fused
-
-    packed = pack_vm(
+    return pack_vm(
         [
             (params["density_plane"], params["density_line"]),
             (params["blending_plane"], params["blending_line"]),
@@ -161,7 +157,26 @@ def all_features_fused(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n):
         ],
         strides=MULTISCALE_STRIDES,
         gather_dtype=cfg.gather_dtype,
+        layout=cfg.vm_layout,
     )
+
+
+def all_features_fused(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n, packed=None):
+    """Density, blending, and appearance features in ONE fused mega-take.
+
+    The three grids are always sampled at the same warped coordinates
+    (reference: tensoRF.py:646-811 evaluates them back to back), so their
+    multiscale plane gathers share indices — packing them into one
+    corner-packed table cuts gathered rows 12x (ops/fused_vm.py; 36x with the
+    merged-stride layout). Outputs are bit-identical to density_feature/
+    blending_feature/app_feature.
+
+    Returns (sigma_raw [N], blending_raw [N], app [N, app_dim]).
+    """
+    from ..ops.fused_vm import sample_vm_fused
+
+    if packed is None:
+        packed = pack_tables(params, cfg)
     dens_f, blend_f, app_f = sample_vm_fused(packed, xyz_warped_n)
     head_in = _head_inputs(dens_f, xyz_n, t)
     sigma = mlp_apply(params["density_head"], head_in)[..., 0]

@@ -80,16 +80,11 @@ def app_feature(params, xyz_n: jnp.ndarray, gather_dtype=None) -> jnp.ndarray:
     return feats @ params["basis_mat"]
 
 
-def all_features_fused(params, cfg: FieldConfig, xyz_n):
-    """Density (Σ plane⊙line) and appearance features in one fused take
-    (ops/fused_vm.py; reference semantics tensoRF.py:118-196).
+def pack_tables(params, cfg: FieldConfig):
+    """Fused gather tables for the static field (see dynamic.pack_tables)."""
+    from ..ops.fused_vm import pack_vm
 
-    Returns (sigma_feat [N], app [N, app_dim]) bit-identical to
-    density_feature/app_feature.
-    """
-    from ..ops.fused_vm import pack_vm, sample_vm_fused
-
-    packed = pack_vm(
+    return pack_vm(
         [
             (params["density_plane"], params["density_line"]),
             (params["app_plane"], params["app_line"]),
@@ -97,6 +92,19 @@ def all_features_fused(params, cfg: FieldConfig, xyz_n):
         strides=(1,),
         gather_dtype=cfg.gather_dtype,
     )
+
+
+def all_features_fused(params, cfg: FieldConfig, xyz_n, packed=None):
+    """Density (Σ plane⊙line) and appearance features in one fused take
+    (ops/fused_vm.py; reference semantics tensoRF.py:118-196).
+
+    Returns (sigma_feat [N], app [N, app_dim]) bit-identical to
+    density_feature/app_feature.
+    """
+    from ..ops.fused_vm import sample_vm_fused
+
+    if packed is None:
+        packed = pack_tables(params, cfg)
     dens_f, app_f = sample_vm_fused(packed, xyz_n)
     # Σ_axes Σ_c with sample_vm_sum's per-axis add order
     n_comp = [p.shape[0] for p in params["density_plane"]]

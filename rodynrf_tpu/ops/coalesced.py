@@ -110,19 +110,31 @@ def _on_tpu() -> bool:
 
 
 def coalesce_table_grad(rows, w4, ct, R: int, impl: str = "auto") -> jnp.ndarray:
-    """grad[r, k·C+c] = Σ_{m: rows[m]=r} w4[m,k] · ct[m,c]  →  [R, 4C] f32."""
+    """grad[r, k·C+c] = Σ_{m: rows[m]=r} w4[m,k] · ct[m,c]  →  [R, 4C] f32.
+
+    'auto' resolves to the XLA scatter: the measured TPU numbers
+    (scripts/probe_r3.json) put the sorted Pallas pipeline at 25.5 ms vs
+    24.1 ms XLA at the o0 backward shape (and behind at narrow C) — the
+    80 Midx/s random permutation-gather eats the matmul win. The production
+    answer to scatter cost is the merged-stride table layout (3x fewer
+    indices, ops/fused_vm.py); the kernel stays available via impl='pallas'.
+    """
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "xla"
+        impl = "xla"
     if impl == "pallas":
         return _coalesce_pallas(rows, w4, ct, R)
     return _coalesce_xla(rows, w4, ct, R)
 
 
 def _coalesce_xla(rows, w4, ct, R: int) -> jnp.ndarray:
-    """Reference implementation: plain scatter-add in f32."""
+    """Reference implementation: plain scatter-add.
+
+    Accumulates in ct's dtype (bf16 scatter matches what plain autodiff of
+    the bf16 take would do, at the same measured scatter rate)."""
     M, C = ct.shape
-    upd = (w4[:, :, None] * ct[:, None, :]).reshape(M, 4 * C)
-    return jnp.zeros((R, 4 * C), jnp.float32).at[rows].add(upd.astype(jnp.float32))
+    K = w4.shape[1]
+    upd = (w4[:, :, None].astype(ct.dtype) * ct[:, None, :]).reshape(M, K * C)
+    return jnp.zeros((R, K * C), ct.dtype).at[rows].add(upd).astype(jnp.float32)
 
 
 # --- Pallas streaming coalesce ---------------------------------------------
@@ -131,13 +143,14 @@ _G_TEXELS = 256       # output block: G texels = 4G gradient rows
 _CHUNK = 2048         # sorted input rows consumed per grid step
 
 
-def _coalesce_kernel(keys_ref, wct_ref, out_ref, base_ref, acc_ref, sem,
-                     *, C: int, G: int, CH: int, n_blocks: int):
+def _coalesce_kernel(keys_ref, wt_ref, ct_ref, out_ref, base_ref, acc_ref, sem,
+                     *, C: int, G: int, CH: int, n_blocks: int, K: int):
     """One grid step = one chunk of CH sorted entries.
 
     Walks the (sorted) key stream against output blocks of G texels held in
-    a [4G, C] f32 VMEM accumulator; finished blocks stream out via DMA.
+    a [K*G, C] f32 VMEM accumulator; finished blocks stream out via DMA.
     base_ref (SMEM) carries the current block index across grid steps.
+    K is the corner count per texel (4 for a single-stride bilinear pack).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -150,34 +163,33 @@ def _coalesce_kernel(keys_ref, wct_ref, out_ref, base_ref, acc_ref, sem,
         base_ref[0] = 0
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    keys = keys_ref[0, :]                       # [CH] i32 (sorted, padded w/ R4-space sentinel)
-    w4 = wct_ref[0, :, :4].astype(jnp.float32)  # [CH, 4]
-    ctv = wct_ref[0, :, 4:4 + C]                # [CH, C]
+    keys = keys_ref[0]                  # [1, CH] i32 (sorted, sentinel-padded)
+    ctv = ct_ref[0]                     # [CH, C]
 
-    last_key = keys[CH - 1]
+    first_key = keys_ref[0, 0, 0]
+    last_key = keys_ref[0, 0, CH - 1]
 
-    # row ids of the accumulator: (texel g, corner k) -> 4*g + k, plus the
-    # block base offset in 4*G-row units
-    r4 = jax.lax.broadcasted_iota(jnp.int32, (4 * G, CH), 0)
-    texel = r4 >> 2
-    corner = r4 & 3
-    keys_b = keys[None, :]                       # [1, CH] broadcast
+    # accumulator row ids: (texel g, corner k) -> K*g + k, block-local
+    rk = jax.lax.broadcasted_iota(jnp.int32, (K * G, CH), 0)
+    texel = rk // K
+    corner = rk - texel * K
+    keys_b = jnp.broadcast_to(keys, (K * G, CH))
 
     # corner weights per accumulator row: w_b[(g,k), i] = w4[i, k]
-    w_b = jnp.where(corner == 0, w4[None, :, 0], 0.0)
-    w_b = jnp.where(corner == 1, w4[None, :, 1], w_b)
-    w_b = jnp.where(corner == 2, w4[None, :, 2], w_b)
-    w_b = jnp.where(corner == 3, w4[None, :, 3], w_b)
+    w_b = jnp.zeros((K * G, CH), jnp.float32)
+    for k in range(K):
+        wk = jnp.broadcast_to(wt_ref[0, k : k + 1, :], (K * G, CH))
+        w_b = jnp.where(corner == k, wk, w_b)
 
     def accum(block):
         lo = block * G
-        eq = keys_b == (lo + texel)              # [4G, CH]
+        eq = keys_b == (lo + texel)              # [KG, CH]
         a_t = jnp.where(eq, w_b, 0.0).astype(ctv.dtype)
         acc_ref[:] += jax.lax.dot(a_t, ctv, preferred_element_type=jnp.float32)
 
     def flush(block):
         cp = pltpu.make_async_copy(
-            acc_ref, out_ref.at[pl.ds(block * 4 * G, 4 * G), :], sem
+            acc_ref, out_ref.at[pl.ds(block * K * G, K * G), :], sem
         )
         cp.start()
         cp.wait()
@@ -191,7 +203,7 @@ def _coalesce_kernel(keys_ref, wct_ref, out_ref, base_ref, acc_ref, sem,
         block = state
         # entries of this chunk belonging to `block` (may be none if the
         # chunk jumped past several empty blocks)
-        @pl.when(keys[0] < (block + 1) * G)
+        @pl.when(first_key < (block + 1) * G)
         def _():
             accum(block)
 
@@ -200,7 +212,7 @@ def _coalesce_kernel(keys_ref, wct_ref, out_ref, base_ref, acc_ref, sem,
 
     block = jax.lax.while_loop(cond, body, base_ref[0])
     # the chunk's tail belongs to the (unfinished) current block
-    @pl.when(keys[0] < (block + 1) * G)
+    @pl.when(first_key < (block + 1) * G)
     def _():
         accum(block)
 
@@ -217,11 +229,20 @@ def _coalesce_kernel(keys_ref, wct_ref, out_ref, base_ref, acc_ref, sem,
 
 
 def _coalesce_pallas(rows, w4, ct, R: int) -> jnp.ndarray:
-    """sort + permute + streaming Pallas coalesce. Returns [R, 4C] f32."""
+    """sort + permute + streaming Pallas coalesce.
+
+    rows [M], w4 [M, K], ct [M, C]  →  [R, K*C] f32 table gradient.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    M, C = ct.shape
+    M, C0 = ct.shape
+    K = w4.shape[1]
+    # Mosaic sliced DMA requires 128-aligned lane extents: pad the channel
+    # axis up front, slice the padding off the result
+    C = -(-C0 // 128) * 128
+    if C != C0:
+        ct = jnp.pad(ct, ((0, 0), (0, C - C0)))
     G, CH = _G_TEXELS, _CHUNK
     n_blocks = -(-R // G)
     n_chunks = -(-M // CH)
@@ -229,7 +250,7 @@ def _coalesce_pallas(rows, w4, ct, R: int) -> jnp.ndarray:
 
     rows_s, perm = jax.lax.sort_key_val(rows.astype(jnp.int32),
                                         jnp.arange(M, dtype=jnp.int32))
-    wct = jnp.concatenate([w4.astype(ct.dtype), ct], axis=1)  # [M, 4+C]
+    wct = jnp.concatenate([w4.astype(ct.dtype), ct], axis=1)  # [M, K+C]
     wct_s = jnp.take(wct, perm, axis=0)
     if Mp != M:
         # sentinel key: last texel of the last block with zero weights —
@@ -237,31 +258,41 @@ def _coalesce_pallas(rows, w4, ct, R: int) -> jnp.ndarray:
         rows_s = jnp.concatenate(
             [rows_s, jnp.full((Mp - M,), n_blocks * G - 1, jnp.int32)])
         wct_s = jnp.concatenate(
-            [wct_s, jnp.zeros((Mp - M, 4 + C), wct_s.dtype)])
+            [wct_s, jnp.zeros((Mp - M, K + C), wct_s.dtype)])
 
-    keys2 = rows_s.reshape(n_chunks, CH)
-    wct2 = wct_s.reshape(n_chunks, CH, 4 + C)
+    keys3 = rows_s.reshape(n_chunks, 1, CH)
+    # weights transposed to [n_chunks, K, CH] so the kernel reads each
+    # corner's weights as a lane-contiguous row (no in-kernel transpose)
+    wt3 = (
+        wct_s[:, :K].astype(jnp.float32).T.reshape(K, n_chunks, CH)
+        .transpose(1, 0, 2)
+    )
+    ct3 = wct_s[:, K:].reshape(n_chunks, CH, C)
 
     kernel = functools.partial(
-        _coalesce_kernel, C=C, G=G, CH=CH, n_blocks=n_blocks)
+        _coalesce_kernel, C=C, G=G, CH=CH, n_blocks=n_blocks, K=K)
 
     out = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, CH), lambda c: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CH, 4 + C), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, 1, CH), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, CH), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH, C), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * 4 * G, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * K * G, C), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((4 * G, C), jnp.float32),
+            pltpu.VMEM((K * G, C), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(keys2, wct2)
+    )(keys3, wt3, ct3)
 
-    # [(texel, corner), C] rows -> [texel, 4C] (row-major bitcast reshape)
-    return out.reshape(n_blocks * G, 4 * C)[:R]
+    # [(texel, corner), Cpad] rows -> [texel, K, Cpad] -> strip pad -> [R, K*C0]
+    out = out.reshape(n_blocks * G, K, C)[:R, :, :C0]
+    return out.reshape(R, K * C0)

@@ -56,8 +56,12 @@ def eval_static_field(
     z_vals: jnp.ndarray,
     ray_valid: jnp.ndarray,
     ray_type: str = "ndc",
+    packed=None,
 ) -> FieldEval:
-    """Static field forward over [R, S] samples."""
+    """Static field forward over [R, S] samples.
+
+    packed: optional prebuilt gather tables (stat.pack_tables) — hoist table
+    construction out of per-pass / per-chunk code."""
     R, S, _ = xyz.shape
     dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
 
@@ -65,7 +69,7 @@ def eval_static_field(
     flat = xyz_n.reshape(-1, 3)
 
     # fused mega-take: density + appearance in one gather (ops/fused_vm.py)
-    sigma_feat, app_feats = stat.all_features_fused(params, cfg, flat)
+    sigma_feat, app_feats = stat.all_features_fused(params, cfg, flat, packed=packed)
     sigma_feat = sigma_feat.reshape(R, S)
     sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
 
@@ -101,6 +105,7 @@ def eval_dynamic_field(
     z_vals: jnp.ndarray,
     ray_valid: jnp.ndarray,
     ray_type: str = "ndc",
+    packed=None,
 ) -> FieldEval:
     """Dynamic field forward over [R, S] samples.
 
@@ -122,7 +127,7 @@ def eval_dynamic_field(
     # fused mega-take: density + blending + appearance share one gather
     # (ops/fused_vm.py; 12x fewer gathered rows than per-grid sampling)
     sigma_feat, blend_feat, app_feats = dyn.all_features_fused(
-        params, cfg, flat_n, t_flat, xyz_prime_n
+        params, cfg, flat_n, t_flat, xyz_prime_n, packed=packed
     )
     sigma_feat = sigma_feat.reshape(R, S)
     sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)

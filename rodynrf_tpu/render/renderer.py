@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.rays import get_ray_directions_blender, get_rays, ndc_rays_blender
+from ..fields import dynamic as dyn_fields
+from ..fields import static as stat_fields
 from ..fields.config import FieldConfig
 from ..ops.compositing import raw2outputs
 from .pipeline import eval_dynamic_field, eval_static_field
@@ -51,7 +53,7 @@ def make_chunk_renderer(
     (tensorBase.py:745-765)."""
 
     @jax.jit
-    def render_chunk(params, aabb, rays, ts) -> RenderMaps:
+    def render_chunk(params, packs, aabb, rays, ts) -> RenderMaps:
         xyz, z_vals, ray_valid = sample_xyz(
             rays, n_samples, ray_type, static_cfg.near_far, aabb, step_size, None
         )
@@ -61,10 +63,12 @@ def make_chunk_renderer(
             alphas = alpha_mask.sample_alpha(xyz.reshape(-1, 3), t_flat).reshape(R, S)
             ray_valid = ray_valid & (alphas > 0)
         st = eval_static_field(
-            params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type
+            params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type,
+            packed=packs[0],
         )
         dn = eval_dynamic_field(
-            params["dynamic"], dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type
+            params["dynamic"], dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type,
+            packed=packs[1],
         )
         out = raw2outputs(
             st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
@@ -76,7 +80,17 @@ def make_chunk_renderer(
             out.dynamicness, out.weights_d, out.weights_s, dn.pts_ref, delta,
         )
 
-    return render_chunk
+    def render_chunk_wrapped(params, packs, aabb, rays, ts):
+        return render_chunk(params, packs, aabb, rays, ts)
+
+    # gather tables are built once per FRAME by render_image (not once per
+    # chunk inside the jitted body): ~15 ms of table construction amortized
+    # over the whole frame
+    render_chunk_wrapped.pack = lambda params: (
+        stat_fields.pack_tables(params["static"], static_cfg),
+        dyn_fields.pack_tables(params["dynamic"], dynamic_cfg),
+    )
+    return render_chunk_wrapped
 
 
 class VisMaps(NamedTuple):
@@ -107,15 +121,17 @@ def make_vis_chunk_renderer(
     from .flow import induce_flow
 
     @jax.jit
-    def render_chunk_vis(params, aabb, rays, ts, grid, pose_f, pose_b, focal) -> VisMaps:
+    def render_chunk_vis(params, packs, aabb, rays, ts, grid, pose_f, pose_b, focal) -> VisMaps:
         xyz, z_vals, ray_valid = sample_xyz(
             rays, n_samples, ray_type, static_cfg.near_far, aabb, step_size, None
         )
         st = eval_static_field(
-            params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type
+            params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type,
+            packed=packs[0],
         )
         dn = eval_dynamic_field(
-            params["dynamic"], dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type
+            params["dynamic"], dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type,
+            packed=packs[1],
         )
         out = raw2outputs(
             st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
@@ -139,7 +155,14 @@ def make_vis_chunk_renderer(
         if_s_b, _ = induce_flow(H, W, focal, pb, out.weights_s, st.pts_ref, grid, rays, ray_type)
         return VisMaps(base, if_f, if_b, if_s_f, if_s_b, delta_sum)
 
-    return render_chunk_vis
+    def render_chunk_vis_wrapped(params, packs, aabb, rays, ts, grid, pose_f, pose_b, focal):
+        return render_chunk_vis(params, packs, aabb, rays, ts, grid, pose_f, pose_b, focal)
+
+    render_chunk_vis_wrapped.pack = lambda params: (
+        stat_fields.pack_tables(params["static"], static_cfg),
+        dyn_fields.pack_tables(params["dynamic"], dynamic_cfg),
+    )
+    return render_chunk_vis_wrapped
 
 
 def render_image_vis(
@@ -168,6 +191,7 @@ def render_image_vis(
     pose_f = jnp.asarray(pose_f, jnp.float32)
     pose_b = jnp.asarray(pose_b, jnp.float32)
     focal = jnp.asarray(focal, jnp.float32)
+    packs = render_chunk_vis.pack(params)
 
     outs = []
     for start in range(0, N, chunk):
@@ -178,7 +202,7 @@ def render_image_vis(
             rays_c = jnp.pad(rays_c, ((0, pad), (0, 0)))
             ts_c = jnp.pad(ts_c, (0, pad))
             grid_c = jnp.pad(grid_c, ((0, pad), (0, 0)))
-        maps = render_chunk_vis(params, aabb, rays_c, ts_c, grid_c, pose_f, pose_b, focal)
+        maps = render_chunk_vis(params, packs, aabb, rays_c, ts_c, grid_c, pose_f, pose_b, focal)
         outs.append(
             jax.tree_util.tree_map(lambda x: np.asarray(x[: sl.stop - sl.start]), maps)
         )
@@ -226,6 +250,7 @@ def render_image(
     rays = rays_for_view(pose_c2w, focal, H, W, ray_type)
     N = rays.shape[0]
     ts_full = jnp.full((N,), t_value, jnp.float32)
+    packs = render_chunk.pack(params)
 
     outs = []
     for start in range(0, N, chunk):
@@ -235,7 +260,7 @@ def render_image(
         if pad:
             rays_c = jnp.pad(rays_c, ((0, pad), (0, 0)))
             ts_c = jnp.pad(ts_c, (0, pad))
-        maps = render_chunk(params, aabb, rays_c, ts_c)
+        maps = render_chunk(params, packs, aabb, rays_c, ts_c)
         outs.append(jax.tree_util.tree_map(lambda x: np.asarray(x[: sl.stop - sl.start]), maps))
 
     cat = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, 0), *outs)

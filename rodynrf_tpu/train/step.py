@@ -137,13 +137,19 @@ def _rays_from_uv(uv, pose_per_ray, focal, S: StepStatics):
     return jnp.concatenate([rays_o, rays_d], -1)
 
 
-def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bool):
+def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bool,
+               packs=None):
     """Sampler + static field + dynamic field + dual compositor for one ray set.
 
     detach_static reproduces the reference's `.detach()` on static rgb/sigma
     in passes A-D (train.py:1152-1153 etc.); in that case the static field is
     evaluated entirely under stop_gradient (no VJP residuals at all).
+
+    packs: optional (packed_static, packed_dynamic) gather tables built ONCE
+    per step (train_loss hoists them so the table construction never re-runs
+    per pass or per remat recomputation).
     """
+    packed_st, packed_dn = packs if packs is not None else (None, None)
     if S.golden_det:
         k_samp = k_comp = None
     else:
@@ -153,14 +159,16 @@ def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bo
         det_jitter=S.golden_det,
     )
 
-    def run_static(p, rays_, xyz_):
+    def run_static(p, rays_, xyz_, packed_):
         return eval_static_field(
-            p, S.static_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type
+            p, S.static_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type,
+            packed=packed_,
         )
 
-    def run_dynamic(p, rays_, xyz_):
+    def run_dynamic(p, rays_, xyz_, packed_):
         return eval_dynamic_field(
-            p, S.dynamic_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type
+            p, S.dynamic_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type,
+            packed=packed_,
         )
 
     if S.remat:
@@ -168,12 +176,13 @@ def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bo
         run_dynamic = jax.checkpoint(run_dynamic)
 
     if detach_static:
-        st = run_static(sg(params["static"]), sg(rays), sg(xyz))
+        st = run_static(sg(params["static"]), sg(rays), sg(xyz),
+                        jax.tree_util.tree_map(sg, packed_st))
         st = jax.tree_util.tree_map(sg, st)
     else:
-        st = run_static(params["static"], rays, xyz)
+        st = run_static(params["static"], rays, xyz, packed_st)
 
-    dn = run_dynamic(params["dynamic"], rays, xyz)
+    dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn)
 
     out = raw2outputs(
         st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
@@ -215,6 +224,13 @@ def train_loss(
     else:
         focal = sc["focal_fixed"]
     poses_mtx = pose_to_mtx(params["pose"])  # [T, 3, 4]
+
+    # fused gather tables, built ONCE per step and shared by every pass
+    # (construction + its VJP run once instead of once per field eval)
+    packs = (
+        stat_field.pack_tables(params["static"], S.static_cfg),
+        dyn_field.pack_tables(params["dynamic"], S.dynamic_cfg),
+    )
 
     # assert (not infer) the data-parallel partitioning of the ray batch:
     # every per-ray tensor downstream inherits a sharding GSPMD cannot
@@ -259,10 +275,10 @@ def train_loss(
 
     # ---------------- PASS A: training rays, detached (train.py:1092-1162)
     rays_det = sg(rays_train)
-    outA, stA, dnA, _ = _dual_pass(params, S, aabb, rays_det, ts_train, keys[0], detach_static=True)
+    outA, stA, dnA, _ = _dual_pass(params, S, aabb, rays_det, ts_train, keys[0], detach_static=True, packs=packs)
 
     # ---------------- PASS B: novel time (train.py:1166-1246)
-    outB, stB, dnB, _ = _dual_pass(params, S, aabb, rays_det, ts_rand, keys[1], detach_static=True)
+    outB, stB, dnB, _ = _dual_pass(params, S, aabb, rays_det, ts_rand, keys[1], detach_static=True, packs=packs)
 
     # skewed mask + novel mask losses (train.py:1248-1273), gated on upsamp3
     skewed_rand = L.skewed_entropy(outB.dynamicness)
@@ -342,7 +358,7 @@ def train_loss(
     # ------------- PASS C/D: flow-warped neighbor rays (train.py:1431-1625)
     uv_f = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_f
     rays_f = _rays_from_uv(uv_f, sg(poses_f), focal_det, S)
-    outC, _, dnC, _ = _dual_pass(params, S, aabb, sg(rays_f), ts_train + t_interval, keys[2], detach_static=True)
+    outC, _, dnC, _ = _dual_pass(params, S, aabb, sg(rays_f), ts_train + t_interval, keys[2], detach_static=True, packs=packs)
     _, induced_disp_ff = induce_flow(
         H, W, focal_det, sg(poses_f), outC.weights_d, dnC.pts_ref, grid_train, sg(rays_f), S.ray_type
     )
@@ -352,7 +368,7 @@ def train_loss(
 
     uv_b = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_b
     rays_b = _rays_from_uv(uv_b, sg(poses_b), focal_det, S)
-    outD, _, dnD, _ = _dual_pass(params, S, aabb, sg(rays_b), ts_train - t_interval, keys[3], detach_static=True)
+    outD, _, dnD, _ = _dual_pass(params, S, aabb, sg(rays_b), ts_train - t_interval, keys[3], detach_static=True, packs=packs)
     _, induced_disp_bb = induce_flow(
         H, W, focal_det, sg(poses_b), outD.weights_d, dnD.pts_ref, grid_train, sg(rays_b), S.ray_type
     )
@@ -413,7 +429,7 @@ def train_loss(
 
     # ------------- PASS E: non-detached rays -> static + camera gradients
     # (train.py:1755-1823)
-    outE, stE, dnE, z_vals_E = _dual_pass(params, S, aabb, rays_train, ts_train, keys[4], detach_static=False)
+    outE, stE, dnE, z_vals_E = _dual_pass(params, S, aabb, rays_train, ts_train, keys[4], detach_static=False, packs=packs)
 
     # static RGB on background pixels (train.py:1827-1835)
     bg = 1.0 - fg_mask[..., None]
@@ -469,7 +485,8 @@ def train_loss(
         )
         eval_static_r = jax.checkpoint(eval_static_field, static_argnums=(1, 8)) if S.remat else eval_static_field
         stFF = eval_static_r(
-            params["static"], S.static_cfg, aabb, rays_f_nd, ts_train, xyz_f, zv_f, rv_f, S.ray_type
+            params["static"], S.static_cfg, aabb, rays_f_nd, ts_train, xyz_f, zv_f, rv_f, S.ray_type,
+            packs[0],
         )
         _, induced_disp_s_ff = induce_flow(
             H, W, focal, poses_f, stFF.weights, stFF.pts_ref, grid_train, rays_f_nd, S.ray_type
@@ -485,7 +502,8 @@ def train_loss(
             det_jitter=S.golden_det,
         )
         stBB = eval_static_r(
-            params["static"], S.static_cfg, aabb, rays_b_nd, ts_train, xyz_b, zv_b, rv_b, S.ray_type
+            params["static"], S.static_cfg, aabb, rays_b_nd, ts_train, xyz_b, zv_b, rv_b, S.ray_type,
+            packs[0],
         )
         _, induced_disp_s_bb = induce_flow(
             H, W, focal, poses_b, stBB.weights, stBB.pts_ref, grid_train, rays_b_nd, S.ray_type
@@ -515,7 +533,7 @@ def train_loss(
             if S.ray_type == "ndc":
                 ro, rd = ndc_rays_blender(H, W, (focal, focal), 1.0, ro, rd)
             rays_n = jnp.concatenate([ro, rd], -1)
-            out_n, _, _, _ = _dual_pass(params, S, aabb, rays_n, ts_train, k, detach_static=False)
+            out_n, _, _, _ = _dual_pass(params, S, aabb, rays_n, ts_train, k, detach_static=False, packs=packs)
             return out_n.depth_s
 
         depth_s_i = neighbor_depth(i_n, j_px, keys[6])

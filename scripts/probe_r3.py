@@ -136,8 +136,9 @@ def probe_scatter(res):
     out["scatter_all_dropped"] = {"ms": round(chain_time(f_drop, (upd, oob)) * 1e3, 2)}
     print(json.dumps(out["scatter_all_dropped"]), flush=True)
 
-    # unique_indices promise on a permutation
-    perm = jax.random.permutation(jax.random.PRNGKey(4), R)[:N].astype(jnp.int32)
+    # unique_indices promise on a (partial) permutation
+    perm = jax.random.permutation(jax.random.PRNGKey(4), R).astype(jnp.int32)
+    upd = upd[: R]
 
     def f_uni(c, upd, perm):
         i = perm + (c * 1e-30).astype(jnp.int32)
@@ -175,6 +176,34 @@ def probe_scatter(res):
     res["scatter"] = out
 
 
+def probe_kernel(res):
+    """Pallas sorted-coalesce vs XLA scatter at real backward shapes."""
+    from rodynrf_tpu.ops.coalesced import _coalesce_pallas, _coalesce_xla
+
+    out = {}
+    for n_rays, C, lab in ((1024, 80, "o0"), (1024, 20, "o1"), (7 * 1024, 80, "o0x7")):
+        rows, R = _ray_rows(n_rays, 270, 368, 331)
+        N = rows.shape[0]
+        w4 = jax.random.uniform(jax.random.PRNGKey(5), (N, 4), jnp.float32)
+        ct = jax.random.normal(jax.random.PRNGKey(6), (N, C), jnp.bfloat16)
+
+        def f_pal(c, rows, w4, ct):
+            i = rows + (c * 1e-30).astype(jnp.int32)
+            return c + jnp.sum(_coalesce_pallas(i, w4, ct, R)[::64, ::8])
+
+        def f_xla(c, rows, w4, ct):
+            i = rows + (c * 1e-30).astype(jnp.int32)
+            return c + jnp.sum(_coalesce_xla(i, w4, ct, R)[::64, ::8])
+
+        k = f"coalesce_{lab}_N{N}_C{C}"
+        out[k] = {
+            "pallas_ms": round(chain_time(f_pal, (rows, w4, ct)) * 1e3, 2),
+            "xla_scatter_ms": round(chain_time(f_xla, (rows, w4, ct)) * 1e3, 2),
+        }
+        print(k, json.dumps(out[k]), flush=True)
+    res["kernel"] = out
+
+
 def probe_fwd(res):
     """Fused-eval forward decomposition at the real dynamic-eval shapes."""
     from rodynrf_tpu.fields.static import init_vm
@@ -191,7 +220,8 @@ def probe_fwd(res):
     N = 276480
     xyz = jax.random.uniform(ks[3], (N, 3), jnp.float32, -0.99, 0.99)
     packed = jax.tree_util.tree_map(
-        jnp.asarray, pack_vm(grids, strides=(1, 2, 4), gather_dtype=jnp.bfloat16)
+        jnp.asarray,
+        pack_vm(grids, strides=(1, 2, 4), gather_dtype=jnp.bfloat16, layout="strided"),
     )
     meta = packed.meta
     nS = 3
@@ -269,6 +299,36 @@ def probe_fwd(res):
 
     res_fwd["lines_ms"] = round(chain_time(lines_only, (packed,)) * 1e3, 2)
     print("lines", res_fwd["lines_ms"], flush=True)
+
+    from rodynrf_tpu.ops.fused_vm import sample_vm_fused
+
+    for lab, layout, dt in (
+        ("strided_bf16", "strided", jnp.bfloat16),
+        ("merged_bf16", "merged", jnp.bfloat16),
+        ("merged_f32", "merged", None),
+    ):
+        pk = jax.tree_util.tree_map(
+            jnp.asarray, pack_vm(grids, strides=(1, 2, 4), gather_dtype=dt, layout=layout)
+        )
+
+        def full(c, pk):
+            outs = sample_vm_fused(pk, xyz + c * 1e-30)
+            return c + sum(jnp.sum(o[::512]) for o in outs)
+
+        res_fwd[f"full_eval_{lab}_ms"] = round(chain_time(full, (pk,)) * 1e3, 2)
+        print("full_eval", lab, res_fwd[f"full_eval_{lab}_ms"], flush=True)
+
+        def full_grad(c, pk):
+            def loss(pk_, xyz_):
+                outs = sample_vm_fused(pk_, xyz_)
+                return sum(jnp.sum(o) for o in outs)
+
+            g = jax.grad(loss, argnums=(0, 1))(pk, xyz + c * 1e-30)
+            leaves = jax.tree_util.tree_leaves(g)
+            return c + sum(jnp.sum(l[::512].astype(jnp.float32)) for l in leaves if l.ndim)
+
+        res_fwd[f"full_grad_{lab}_ms"] = round(chain_time(full_grad, (pk,)) * 1e3, 2)
+        print("full_grad", lab, res_fwd[f"full_grad_{lab}_ms"], flush=True)
     res["fwd"] = res_fwd
 
 
@@ -277,6 +337,7 @@ def main():
     res = {"device": str(jax.devices()[0])}
     print(res["device"], flush=True)
     for s in secs:
+        print("SECTION", s, flush=True)
         globals()[f"probe_{s}"](res)
     with open(os.path.join(HERE, "probe_r3.json"), "w") as fh:
         json.dump(res, fh, indent=1)
