@@ -56,10 +56,11 @@ T, H, W = 12, 270, 480
 BATCH = 1024
 
 
-def _args(n_voxel: int):
+def _args(n_voxel: int, bf16: bool = False):
     from rodynrf_tpu.train import parse_cmd
 
     return parse_cmd(
+        (f"--bf16 1 " if bf16 else "") +
         f"--expname bench --datadir none --dataset_name synthetic "
         f"--n_iters 100000 --batch_size {BATCH} --N_voxel_t {T} "
         f"--N_voxel_init {n_voxel} --N_voxel_final {n_voxel} "
@@ -76,7 +77,7 @@ def _args(n_voxel: int):
     )
 
 
-def measure_train(scene, n_voxel: int, warmup: int, iters: int):
+def measure_train(scene, n_voxel: int, warmup: int, iters: int, bf16: bool = False):
     """Honest step timing: enqueue the chain, then FETCH the last loss.
 
     On tunneled TPU attachments `block_until_ready` can return before
@@ -87,7 +88,7 @@ def measure_train(scene, n_voxel: int, warmup: int, iters: int):
     """
     from rodynrf_tpu.train import Trainer
 
-    trainer = Trainer(_args(n_voxel), scene)
+    trainer = Trainer(_args(n_voxel, bf16=bf16), scene)
     for _ in range(warmup):
         m = trainer.run_step()
     float(m["total_loss"])
@@ -99,19 +100,25 @@ def measure_train(scene, n_voxel: int, warmup: int, iters: int):
     return iters / dt, trainer
 
 
-def measure_render(trainer, scene, chunk=8192, reps=10):
+def measure_render(trainer, scene, chunk=8192, reps=10, bf16=False):
     """Render-path throughput (BASELINE.md metric (b)): eval-mode dual-field
-    chunk renderer (reference renders eval at chunk 512, renderer.py:732)."""
+    chunk renderer (reference renders eval at chunk 512, renderer.py:732).
+
+    bf16=True measures the documented --bf16 eval mode (bf16 gather tables;
+    ~bf16-quantization-level differences, tests/test_fused_vm.py)."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from rodynrf_tpu.render.renderer import make_chunk_renderer
 
-    render_chunk = jax.jit(
-        make_chunk_renderer(
-            trainer.static_cfg, trainer.dynamic_cfg, trainer.args.ray_type,
-            trainer.n_samples,
-            trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
-        )
+    s_cfg, d_cfg = trainer.static_cfg, trainer.dynamic_cfg
+    if bf16:
+        s_cfg = dataclasses.replace(s_cfg, grid_sample_dtype="bfloat16")
+        d_cfg = dataclasses.replace(d_cfg, grid_sample_dtype="bfloat16")
+    render_chunk = make_chunk_renderer(
+        s_cfg, d_cfg, trainer.args.ray_type, trainer.n_samples,
+        trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
     )
     params_r = {"static": trainer.params["static"], "dynamic": trainer.params["dynamic"]}
     rng = np.random.default_rng(0)
@@ -126,14 +133,15 @@ def measure_render(trainer, scene, chunk=8192, reps=10):
         jnp.float32,
     )
     ts = jnp.asarray(rng.uniform(-1, 1, (chunk,)), jnp.float32)
-    out = render_chunk(params_r, trainer.aabb, rays, ts)
+    packs = render_chunk.pack(params_r)
+    out = render_chunk(params_r, packs, trainer.aabb, rays, ts)
     float(jnp.sum(out.rgb))
     # chain reps through a data dependence so one final fetch forces all of
     # them (see measure_train: block_until_ready is not a sync here)
     t0 = time.perf_counter()
     carry = jnp.float32(0.0)
     for _ in range(reps):
-        out = render_chunk(params_r, trainer.aabb, rays, ts + carry * 1e-30)
+        out = render_chunk(params_r, packs, trainer.aabb, rays, ts + carry * 1e-30)
         carry = out.rgb[0, 0]
     assert np.isfinite(float(carry))
     return reps * chunk / (time.perf_counter() - t0)
@@ -192,6 +200,9 @@ def main():
     # >75% of the reference's 100k iterations run)
     sps_300, trainer_300 = measure_train(scene, 300 ** 3, warmup, iters)
     render_rays = measure_render(trainer_300, scene)
+    render_rays_bf16 = measure_render(trainer_300, scene, bf16=True)
+    # bf16 gather-table mode (documented --bf16 1): the fastest train config
+    sps_300_bf16, _ = measure_train(scene, 300 ** 3, warmup, iters, bf16=True)
 
     # anchor config: identical shapes to the measured reference run
     sps_128, trainer_128 = measure_train(scene, 128 ** 3, warmup, iters)
@@ -217,7 +228,9 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3),
         "steps_per_sec": round(sps_300, 3),
+        "rays_per_sec_bf16": round(sps_300_bf16 * BATCH, 1),
         "render_rays_per_sec": round(render_rays, 1),
+        "render_rays_per_sec_bf16": round(render_rays_bf16, 1),
         "batch_size": BATCH,
         "n_samples": trainer_300.n_samples,
         "grid": list(trainer_300.static_cfg.grid_size),

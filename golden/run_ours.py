@@ -94,6 +94,7 @@ def main():
     cfg = sys.argv[1] if len(sys.argv) > 1 else os.path.join(HERE, "tiny.txt")
     n_iters_cap = int(sys.argv[2]) if len(sys.argv) > 2 else None
 
+    out_dir = os.environ.get("GOLDEN_OUT", os.path.join(HERE, "out"))
     args = config_parser(
         [
             "--config",
@@ -101,12 +102,12 @@ def main():
             "--datadir",
             os.path.join(HERE, "out", "fixture"),
             "--basedir",
-            os.path.join(HERE, "out", "ours_log"),
+            os.path.join(out_dir, "ours_log"),
         ]
     )
     args.golden_det = 1
 
-    rec = np.load(os.path.join(HERE, "out", "ref_record.npz"))
+    rec = np.load(os.path.join(out_dir, "ref_record.npz"))
     ray_idx, ray_idx_rand = rec["ray_idx"], rec["ray_idx_rand"]
 
     scene = load_nvidia_scene(
@@ -133,7 +134,7 @@ def main():
         if (i + 1) % 50 == 0:
             print(f"iter {i + 1}/{n} total={float(metrics['total_loss']):.4f}")
 
-    out = os.path.join(HERE, "out", "ours_scalars.json")
+    out = os.path.join(out_dir, "ours_scalars.json")
     with open(out, "w") as fh:
         json.dump(scalars, fh)
     print(f"ran {n} iterations -> {out}")
@@ -142,7 +143,7 @@ def main():
     from rodynrf_tpu.train.checkpoints import save_checkpoint
 
     save_checkpoint(
-        os.path.join(HERE, "out", "ours_final.npz"),
+        os.path.join(out_dir, "ours_final.npz"),
         trainer.params,
         trainer.static_cfg,
         trainer.dynamic_cfg,

@@ -131,7 +131,9 @@ def _rec_nextids(self):
 ref_train.SimpleSampler.__init__ = _rec_init
 ref_train.SimpleSampler.nextids = _rec_nextids
 
-OUT = os.path.join(HERE, "out")
+# GOLDEN_OUT redirects record/log outputs (basin runs keep the
+# 260-iter golden fixtures intact); the fixture datadir is shared
+OUT = os.environ.get("GOLDEN_OUT", os.path.join(HERE, "out"))
 MODELS = {}
 
 
@@ -206,7 +208,7 @@ def main():
             "--datadir",
             os.path.join(HERE, "out", "fixture"),
             "--basedir",
-            os.path.join(HERE, "out", "ref_log"),
+            os.path.join(OUT, "ref_log"),
         ]
     )
     torch.set_default_dtype(torch.float32)

@@ -41,8 +41,11 @@ from .coalesced import planes_sample
 from .grid_sample import MAT_MODE, VEC_MODE, _strided_len
 
 # "auto" layout picks the merged-stride pack when the merged tables fit this
-# byte budget (per PackedVM), else the per-stride pack. See pack_vm.
-MERGED_BYTES_LIMIT = 2_000_000_000
+# byte budget (per PackedVM), else the per-stride pack. The limit admits the
+# bf16 300³ steady state (~0.95 GB) and rejects the f32 one (~1.9 GB): the
+# merged layout's stored gather activations scale with the table dtype, and
+# the f32 300³ train step measured 18.4 GB > 15.75 GB HBM. See pack_vm.
+MERGED_BYTES_LIMIT = 1_200_000_000
 
 Grid = Tuple[Sequence[jnp.ndarray], Sequence[jnp.ndarray]]  # (planes, lines)
 

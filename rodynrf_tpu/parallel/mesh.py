@@ -35,12 +35,56 @@ def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def shard_train_inputs(mesh: Mesh, params, opt_state, aabb, data):
+def grid_sharded(mesh: Mesh, shape, axis: str = "data") -> NamedSharding:
+    """FSDP-lite spec for a [C, H, W] plane grid: shard the first axis the
+    mesh size divides (H, then W, then C — grid dims are arbitrary odd
+    numbers, so the channel axis is often the one that divides); replicate
+    when nothing divides (device_put rejects uneven shards)."""
+    n = mesh.shape[axis]
+    for dim in (1, 2, 0):
+        if shape[dim] % n == 0:
+            spec = [None, None, None]
+            spec[dim] = axis
+            return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
+
+
+def _is_plane(path) -> bool:
+    return any("plane" in str(getattr(p, "key", getattr(p, "name", ""))) for p in path)
+
+
+def shard_train_inputs(mesh: Mesh, params, opt_state, aabb, data,
+                       shard_grids: bool = False):
     """Place params/optimizer replicated; dataset replicated (it is indexed
-    by sharded ray ids; XLA partitions the gather)."""
+    by sharded ray ids; XLA partitions the gather).
+
+    shard_grids=True additionally shards every [C, H, W] plane grid — and its
+    Adam moments — along H over the mesh (ZeRO-style: grids live sharded at
+    rest, GSPMD gathers working copies per step). At 640³ the plane params +
+    two Adam moments are ~3 GB replicated; sharding frees (n-1)/n of that
+    HBM per chip for the activation budget (SURVEY §5.8 stretch goal)."""
     rep = replicated(mesh)
-    put = lambda tree: jax.device_put(tree, rep)
-    return put(params), put(opt_state), put(aabb), put(data)
+    if not shard_grids:
+        put = lambda tree: jax.device_put(tree, rep)
+        return put(params), put(opt_state), put(aabb), put(data)
+
+    def put_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.device_put(
+                x,
+                grid_sharded(mesh, x.shape)
+                if (_is_plane(path) and getattr(x, "ndim", 0) == 3)
+                else rep,
+            ),
+            tree,
+        )
+
+    return (
+        put_tree(params),
+        put_tree(opt_state),
+        jax.device_put(aabb, rep),
+        jax.device_put(data, rep),
+    )
 
 
 def shard_batch_indices(mesh: Mesh, ray_idx):

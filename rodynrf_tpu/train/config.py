@@ -147,6 +147,13 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         help="data-parallel devices (0 = all available)")
     parser.add_argument("--seed", type=int, default=20211202)
     parser.add_argument("--bf16", type=int, default=0, help="bfloat16 field params")
+    parser.add_argument("--shard_grids", type=int, default=0,
+                        help="FSDP-lite: shard [C,H,W] plane grids + their Adam "
+                        "moments along H over the data mesh (frees ~2/3 of the "
+                        "param HBM per chip at 640^3; parallel/mesh.py)")
+    parser.add_argument("--vm_layout", type=str, default="auto",
+                        choices=["auto", "merged", "strided"],
+                        help="multiscale gather-table layout (ops/fused_vm.py)")
     parser.add_argument("--remat", type=str, default="auto", choices=["auto", "on", "off"],
                         help="rematerialize field evals in backward: 'auto' stores "
                         "activations when the grid schedule fits HBM (faster), "

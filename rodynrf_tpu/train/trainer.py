@@ -147,7 +147,8 @@ class Trainer:
             use_global = jax.process_count() > 1 and n_dev == jax.device_count()
             self.mesh = global_mesh() if use_global else make_mesh(n_dev)
             self.params, self.opt_state, self.aabb, self.data = shard_train_inputs(
-                self.mesh, self.params, self.opt_state, self.aabb, self.data
+                self.mesh, self.params, self.opt_state, self.aabb, self.data,
+                shard_grids=bool(getattr(args, "shard_grids", 0)),
             )
 
         self.iteration = 0

@@ -143,3 +143,48 @@ def test_non_divisible_batch_matches_single_device():
     np.testing.assert_allclose(
         float(m1["total_loss"]), float(m8["total_loss"]), rtol=2e-3
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_grid_sharded_matches_replicated_loss():
+    """FSDP-lite (SURVEY §5.8): plane grids + Adam moments sharded along H
+    over the mesh must produce the same loss and finite sharded updates."""
+    import dataclasses
+
+    from rodynrf_tpu.train.step import make_train_step
+
+    tr = tiny_trainer("ndc", 1)
+    ray_idx = jnp.asarray(tr.sampler.nextids())
+    ray_idx_rand = jnp.asarray(tr.sampler2.nextids())
+    key = jax.random.PRNGKey(123)
+    sc = {
+        "iteration": jnp.asarray(0, jnp.int32),
+        "focal_fixed": jnp.asarray(tr.focal_fixed, jnp.float32),
+        "lr_spatial": jnp.asarray(0.02, jnp.float32),
+        "lr_network": jnp.asarray(1e-3, jnp.float32),
+        "lr_pose": jnp.asarray(3e-3, jnp.float32),
+        "lr_focal": jnp.asarray(0.0, jnp.float32),
+    }
+    statics = tr._statics()
+    mesh = statics.mesh if statics.mesh is not None else make_mesh(8)
+    step = make_train_step(statics, donate=False)
+
+    params_rep, opt_rep, aabb, data = shard_train_inputs(
+        mesh, tr.params, tr.opt_state, tr.aabb, tr.data
+    )
+    params_sh, opt_sh, _, _ = shard_train_inputs(
+        mesh, tr.params, tr.opt_state, tr.aabb, tr.data, shard_grids=True
+    )
+    # the grids really are sharded at rest
+    p0 = params_sh["dynamic"]["density_plane"][0]
+    assert not p0.sharding.is_fully_replicated
+    idx = shard_batch_indices(mesh, ray_idx)
+    idx_r = shard_batch_indices(mesh, ray_idx_rand)
+    with mesh:
+        _, _, m_rep = step(params_rep, opt_rep, aabb, data, idx, idx_r, key, sc)
+        new_params, new_opt, m_sh = step(params_sh, opt_sh, aabb, data, idx, idx_r, key, sc)
+    np.testing.assert_allclose(
+        float(m_rep["total_loss"]), float(m_sh["total_loss"]), rtol=2e-3
+    )
+    for leaf in jax.tree_util.tree_leaves(new_params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
