@@ -65,13 +65,17 @@ def raw2outputs(
     is_train: bool = False,
     ray_type: str = "ndc",
     key: Optional[jax.Array] = None,
+    white: Optional[jnp.ndarray] = None,
 ) -> RenderOutputs:
     """Dual-field compositing (reference: renderer.py:173-315).
 
     rgb_s/rgb_d: [R, S, 3]; sigma_s/sigma_d/dists/blending/z_vals: [R, S];
     rays: [R, 6] packed (o, d). When training, a fair coin (from ``key``)
     decides whether unoccupied ray remainder is white-filled — the
-    reference's stochastic background (renderer.py:269-272).
+    reference's stochastic background (renderer.py:269-272). ``white``
+    ([R] bool) supplies precomputed per-ray coins instead — used by the
+    batched multi-pass step, where each pass's scalar coin is drawn from its
+    own key and broadcast over that pass's rows (identical semantics).
     """
     alpha_d = 1.0 - jnp.exp(-sigma_d * dists)
     alpha_s = 1.0 - jnp.exp(-sigma_s * dists)
@@ -101,8 +105,12 @@ def raw2outputs(
     acc_s = jnp.sum(weights_s, -1)
     acc_full = jnp.sum(weights_full, -1)
 
-    if is_train and key is not None:
+    if is_train and white is None and key is not None:
         white = jax.random.uniform(key, ()) < 0.5
+    if is_train and white is not None:
+        white = jnp.reshape(white, (-1,) if jnp.ndim(white) else ())
+        if jnp.ndim(white):
+            white = white[:, None]
         rgb_map_d = jnp.where(white, rgb_map_d + (1.0 - acc_d[..., None]), rgb_map_d)
         rgb_map_s = jnp.where(white, rgb_map_s + (1.0 - acc_s[..., None]), rgb_map_s)
         rgb_map_full = jnp.where(

@@ -154,6 +154,10 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument("--vm_layout", type=str, default="auto",
                         choices=["auto", "merged", "strided"],
                         help="multiscale gather-table layout (ops/fused_vm.py)")
+    parser.add_argument("--fused_passes", type=int, default=1,
+                        help="batch all render passes into shared field evals "
+                        "(one dynamic + two static instances per step instead "
+                        "of 7+2; identical math, train/step.py)")
     parser.add_argument("--remat", type=str, default="auto", choices=["auto", "on", "off"],
                         help="rematerialize field evals in backward: 'auto' stores "
                         "activations when the grid schedule fits HBM (faster), "

@@ -25,7 +25,7 @@ never retraces (train/schedule.py computes them).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,6 +95,13 @@ class StepStatics:
     # white-fill coin always lands tails (golden/run_reference.py applies the
     # matching patch to the reference). Bit-for-bit comparable trajectories.
     golden_det: bool = False
+    # batch the per-pass field evaluations: ONE dynamic eval over all passes'
+    # rays and TWO static evals (split by detach topology) instead of 7+2
+    # separate instances. Identical math, detach structure, and per-pass RNG
+    # (pass keys are split exactly as in the sequential path); cuts the
+    # per-instance gather/scatter overhead that dominates the TPU step and
+    # runs the MLPs at MXU-friendly batch sizes.
+    fused_passes: bool = True
     # data-parallel mesh: when set, the ray batch's partitioning is asserted
     # with sharding constraints instead of relying on GSPMD inference. The
     # trainer guarantees the batch divides this mesh (non-divisible batches
@@ -137,8 +144,18 @@ def _rays_from_uv(uv, pose_per_ray, focal, S: StepStatics):
     return jnp.concatenate([rays_o, rays_d], -1)
 
 
-def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bool,
-               packs=None):
+class PassSpec(NamedTuple):
+    """One render pass: ray set + time stamps + RNG + detach topology."""
+
+    rays: Any  # [R, 6] (pre-detached where the reference detaches)
+    ts: Any  # [R]
+    k_samp: Any  # sampler-jitter key (None in golden_det mode)
+    k_comp: Any  # compositor white-fill key (None: no fill / static-only)
+    detach_static: bool  # reference's .detach() on static rgb/sigma (A-D)
+    dual: bool  # False: static-field-only pass (FF/BB)
+
+
+def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None):
     """Sampler + static field + dynamic field + dual compositor for one ray set.
 
     detach_static reproduces the reference's `.detach()` on static rgb/sigma
@@ -150,13 +167,10 @@ def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bo
     per pass or per remat recomputation).
     """
     packed_st, packed_dn = packs if packs is not None else (None, None)
-    if S.golden_det:
-        k_samp = k_comp = None
-    else:
-        k_samp, k_comp = jax.random.split(key)
+    rays, ts = sp.rays, sp.ts
     xyz, z_vals, ray_valid = sample_xyz(
-        rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k_samp,
-        det_jitter=S.golden_det,
+        rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size,
+        sp.k_samp, det_jitter=S.golden_det,
     )
 
     def run_static(p, rays_, xyz_, packed_):
@@ -175,20 +189,169 @@ def _dual_pass(params, S: StepStatics, aabb, rays, ts, key, *, detach_static: bo
         run_static = jax.checkpoint(run_static)
         run_dynamic = jax.checkpoint(run_dynamic)
 
-    if detach_static:
+    if sp.detach_static:
         st = run_static(sg(params["static"]), sg(rays), sg(xyz),
                         jax.tree_util.tree_map(sg, packed_st))
         st = jax.tree_util.tree_map(sg, st)
     else:
         st = run_static(params["static"], rays, xyz, packed_st)
 
+    if not sp.dual:
+        return None, st, None, z_vals
+
     dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn)
 
     out = raw2outputs(
         st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
-        is_train=True, ray_type=S.ray_type, key=k_comp,
+        is_train=True, ray_type=S.ray_type, key=sp.k_comp,
     )
     return out, st, dn, z_vals
+
+
+def _cat(parts):
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _slice_tree(tree, i0, i1):
+    return jax.tree_util.tree_map(lambda a: a[i0:i1], tree)
+
+
+def _batched_passes(params, S: StepStatics, aabb, specs, packs):
+    """All render passes through batched field evaluations.
+
+    Instead of one (static, dynamic) evaluation pair per pass (7+2 instances,
+    reference train.py re-renders per loss group), the passes' rows are
+    concatenated and evaluated as:
+      * ONE dynamic eval over every dual pass's rows,
+      * ONE fully-detached static eval over the detach_static passes (A-D),
+      * ONE grad-carrying static eval over the rest (E/F/G + FF/BB),
+      * ONE batched dual compositor (per-pass white-fill coins drawn from the
+        same per-pass keys and broadcast over that pass's rows).
+    Math, detach topology, and RNG are identical to the sequential path
+    (tests/test_fused_passes.py asserts value + gradient parity); what
+    changes is instance count: gathers/scatters/MLPs run once at 7x the
+    batch, which is what the index-rate-bound TPU profile wants (PERF.md).
+    """
+    packed_st, packed_dn = packs if packs is not None else (None, None)
+    names = list(specs)
+    dual_names = [n for n in names if specs[n].dual]
+    det_names = [n for n in dual_names if specs[n].detach_static]
+    grad_dual = [n for n in dual_names if not specs[n].detach_static]
+    so_names = [n for n in names if not specs[n].dual]  # static-only (FF/BB)
+    grad_names = grad_dual + so_names
+    assert dual_names == det_names + grad_dual, "detached duals must precede grad duals"
+
+    # per-pass sampling (keeps each pass's jitter key)
+    samp = {
+        n: sample_xyz(
+            specs[n].rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb,
+            S.step_size, specs[n].k_samp, det_jitter=S.golden_det,
+        )
+        for n in names
+    }
+    R = {n: specs[n].rays.shape[0] for n in names}
+
+    def _shard_rows(x):
+        # re-assert row partitioning after the concat: each pass's rows are
+        # data-sharded, but GSPMD's inferred sharding for the concatenation
+        # is not guaranteed — pin it so the batched evals stay partitioned
+        if S.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(S.mesh, spec))
+
+    def group_inputs(group):
+        rays = _shard_rows(_cat([specs[n].rays for n in group]))
+        ts = _shard_rows(_cat([specs[n].ts for n in group]))
+        xyz = _shard_rows(_cat([samp[n][0] for n in group]))
+        zv = _shard_rows(_cat([samp[n][1] for n in group]))
+        rv = _shard_rows(_cat([samp[n][2] for n in group]))
+        return rays, ts, xyz, zv, rv
+
+    def run_static(p, rays_, ts_, xyz_, zv_, rv_, packed_):
+        return eval_static_field(
+            p, S.static_cfg, aabb, rays_, ts_, xyz_, zv_, rv_, S.ray_type,
+            packed=packed_,
+        )
+
+    def run_dynamic(p, rays_, ts_, xyz_, zv_, rv_, packed_):
+        return eval_dynamic_field(
+            p, S.dynamic_cfg, aabb, rays_, ts_, xyz_, zv_, rv_, S.ray_type,
+            packed=packed_,
+        )
+
+    if S.remat:
+        run_static = jax.checkpoint(run_static)
+        run_dynamic = jax.checkpoint(run_dynamic)
+
+    # dynamic: one eval over all dual passes
+    d_rays, d_ts, d_xyz, d_zv, d_rv = group_inputs(dual_names)
+    dn_all = run_dynamic(params["dynamic"], d_rays, d_ts, d_xyz, d_zv, d_rv, packed_dn)
+
+    # static, fully detached group (reference detaches static in A-D)
+    st_parts = []
+    if det_names:
+        g = group_inputs(det_names)
+        st_det = run_static(
+            sg(params["static"]), sg(g[0]), g[1], sg(g[2]), g[3], g[4],
+            jax.tree_util.tree_map(sg, packed_st),
+        )
+        st_det = jax.tree_util.tree_map(sg, st_det)
+        st_parts.append((det_names, st_det))
+    # static, grad-carrying group (E/F/G duals + FF/BB static-only)
+    if grad_names:
+        g = group_inputs(grad_names)
+        st_grad = run_static(params["static"], g[0], g[1], g[2], g[3], g[4], packed_st)
+        st_parts.append((grad_names, st_grad))
+
+    # split static evals per pass
+    st_by_name = {}
+    for group, ev in st_parts:
+        off = 0
+        for n in group:
+            st_by_name[n] = _slice_tree(ev, off, off + R[n])
+            off += R[n]
+
+    # batched dual compositor: static rows re-assembled in dual order (the
+    # first len(det)+len(grad_dual) rows of the two static groups align with
+    # dn_all's row order)
+    st_rgb = _cat([st_by_name[n].rgb for n in dual_names])
+    st_sigma = _cat([st_by_name[n].sigma for n in dual_names])
+    white = None
+    if not S.golden_det:
+        coins = [
+            jnp.broadcast_to(jax.random.uniform(specs[n].k_comp, ()) < 0.5, (R[n],))
+            for n in dual_names
+        ]
+        white = _cat(coins)
+    out_all = raw2outputs(
+        st_rgb, st_sigma, dn_all.rgb, dn_all.sigma, dn_all.dists, dn_all.blending,
+        dn_all.z_vals, d_rays, is_train=True, ray_type=S.ray_type, white=white,
+    )
+
+    # split per pass
+    res = {}
+    off = 0
+    for n in dual_names:
+        res[n] = (
+            _slice_tree(out_all, off, off + R[n]),
+            st_by_name[n],
+            _slice_tree(dn_all, off, off + R[n]),
+            samp[n][1],
+        )
+        off += R[n]
+    for n in so_names:
+        res[n] = (None, st_by_name[n], None, samp[n][1])
+    return res
+
+
+def _run_passes(params, S: StepStatics, aabb, specs, packs):
+    """Dispatch: batched (fused_passes) or sequential per-pass evaluation."""
+    if S.fused_passes:
+        return _batched_passes(params, S, aabb, specs, packs)
+    return {n: _dual_pass(params, S, aabb, sp, packs) for n, sp in specs.items()}
 
 
 def train_loss(
@@ -273,12 +436,55 @@ def train_loss(
     keys = jax.random.split(key, 8)
     total = 0.0
 
-    # ---------------- PASS A: training rays, detached (train.py:1092-1162)
+    # ---------------- pass geometry: every ray set, hoisted (the reference
+    # computes these interleaved with the losses; hoisting is math-identical
+    # and lets all passes share batched field evaluations)
     rays_det = sg(rays_train)
-    outA, stA, dnA, _ = _dual_pass(params, S, aabb, rays_det, ts_train, keys[0], detach_static=True, packs=packs)
+    focal_det = sg(focal)
+    uv_base = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32)
+    uv_f = uv_base + flow_f  # (train.py:1433-1436)
+    rays_f = _rays_from_uv(uv_f, sg(poses_f), focal_det, S)
+    uv_b = uv_base + flow_b
+    rays_b = _rays_from_uv(uv_b, sg(poses_b), focal_det, S)
 
-    # ---------------- PASS B: novel time (train.py:1166-1246)
-    outB, stB, dnB, _ = _dual_pass(params, S, aabb, rays_det, ts_rand, keys[1], detach_static=True, packs=packs)
+    def _spec(rays, ts, k, detach):
+        ks, kc = (None, None) if S.golden_det else tuple(jax.random.split(k))
+        return PassSpec(rays, ts, ks, kc, detach, True)
+
+    # A: training rays detached (train.py:1092-1162); B: novel time (1166);
+    # C/D: flow-warped neighbors (1431-1625); E: non-detached (1755-1823)
+    specs = {
+        "A": _spec(rays_det, ts_train, keys[0], True),
+        "B": _spec(rays_det, ts_rand, keys[1], True),
+        "C": _spec(sg(rays_f), ts_train + t_interval, keys[2], True),
+        "D": _spec(sg(rays_b), ts_train - t_interval, keys[3], True),
+        "E": _spec(rays_train, ts_train, keys[4], False),
+    }
+    if S.optimize_poses:
+        # FF/BB: static disparity passes with NON-detached pose/focal
+        # (train.py:1960-2094); F/G: pixel-neighbor duals (2123-2311)
+        rays_f_nd = _rays_from_uv(uv_base + flow_f, poses_f, focal, S)
+        rays_b_nd = _rays_from_uv(uv_base + flow_b, poses_b, focal, S)
+        k5a, k5b = (None, None) if S.golden_det else tuple(jax.random.split(keys[5]))
+        i_n = jnp.clip(i_px + 1, None, W - 1)
+        j_n = jnp.clip(j_px + 1, None, H - 1)
+        poses_per_ray = poses_mtx[view_ids]
+
+        def _neighbor_rays(ii, jj):
+            dirs = get_ray_directions_lean(ii, jj, (focal, focal), (W / 2, H / 2))
+            ro, rd = get_rays_lean(dirs, poses_per_ray)
+            if S.ray_type == "ndc":
+                ro, rd = ndc_rays_blender(H, W, (focal, focal), 1.0, ro, rd)
+            return jnp.concatenate([ro, rd], -1)
+
+        specs["F"] = _spec(_neighbor_rays(i_n, j_px), ts_train, keys[6], False)
+        specs["G"] = _spec(_neighbor_rays(i_px, j_n), ts_train, keys[7], False)
+        specs["FF"] = PassSpec(rays_f_nd, ts_train, k5a, None, False, False)
+        specs["BB"] = PassSpec(rays_b_nd, ts_train, k5b, None, False, False)
+
+    res = _run_passes(params, S, aabb, specs, packs)
+    outA, stA, dnA, _ = res["A"]
+    outB, stB, dnB, _ = res["B"]
 
     # skewed mask + novel mask losses (train.py:1248-1273), gated on upsamp3
     skewed_rand = L.skewed_entropy(outB.dynamicness)
@@ -337,7 +543,6 @@ def train_loss(
         pts_b = jnp.clip(dnA.pts_ref + scene_flow_b, -2.0 + 1e-6, 2.0 - 1e-6)
 
     # induced flow losses (train.py:1380-1419); focal detached here
-    focal_det = sg(focal)
     induced_flow_f, induced_disp_f = induce_flow(
         H, W, focal_det, sg(poses_f), outA.weights_d, pts_f, grid_train, rays_det, S.ray_type
     )
@@ -356,9 +561,7 @@ def train_loss(
     metrics["small_scene_flow_loss"] = small_sf
 
     # ------------- PASS C/D: flow-warped neighbor rays (train.py:1431-1625)
-    uv_f = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_f
-    rays_f = _rays_from_uv(uv_f, sg(poses_f), focal_det, S)
-    outC, _, dnC, _ = _dual_pass(params, S, aabb, sg(rays_f), ts_train + t_interval, keys[2], detach_static=True, packs=packs)
+    outC, _, dnC, _ = res["C"]
     _, induced_disp_ff = induce_flow(
         H, W, focal_det, sg(poses_f), outC.weights_d, dnC.pts_ref, grid_train, sg(rays_f), S.ray_type
     )
@@ -366,9 +569,7 @@ def train_loss(
     total += 0.04 * disp_f_loss * Temp
     metrics["disp_f_loss"] = disp_f_loss
 
-    uv_b = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_b
-    rays_b = _rays_from_uv(uv_b, sg(poses_b), focal_det, S)
-    outD, _, dnD, _ = _dual_pass(params, S, aabb, sg(rays_b), ts_train - t_interval, keys[3], detach_static=True, packs=packs)
+    outD, _, dnD, _ = res["D"]
     _, induced_disp_bb = induce_flow(
         H, W, focal_det, sg(poses_b), outD.weights_d, dnD.pts_ref, grid_train, sg(rays_b), S.ray_type
     )
@@ -429,7 +630,7 @@ def train_loss(
 
     # ------------- PASS E: non-detached rays -> static + camera gradients
     # (train.py:1755-1823)
-    outE, stE, dnE, z_vals_E = _dual_pass(params, S, aabb, rays_train, ts_train, keys[4], detach_static=False, packs=packs)
+    outE, stE, dnE, z_vals_E = res["E"]
 
     # static RGB on background pixels (train.py:1827-1835)
     bg = 1.0 - fg_mask[..., None]
@@ -476,18 +677,7 @@ def train_loss(
 
         # static disparity consistency via flow-warped rays, static-field-only
         # passes (train.py:1960-2094)
-        uv_f2 = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_f
-        rays_f_nd = _rays_from_uv(uv_f2, poses_f, focal, S)
-        k5a, k5b = (None, None) if S.golden_det else jax.random.split(keys[5])
-        xyz_f, zv_f, rv_f = sample_xyz(
-            rays_f_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5a,
-            det_jitter=S.golden_det,
-        )
-        eval_static_r = jax.checkpoint(eval_static_field, static_argnums=(1, 8)) if S.remat else eval_static_field
-        stFF = eval_static_r(
-            params["static"], S.static_cfg, aabb, rays_f_nd, ts_train, xyz_f, zv_f, rv_f, S.ray_type,
-            packs[0],
-        )
+        stFF = res["FF"][1]
         _, induced_disp_s_ff = induce_flow(
             H, W, focal, poses_f, stFF.weights, stFF.pts_ref, grid_train, rays_f_nd, S.ray_type
         )
@@ -495,16 +685,7 @@ def train_loss(
         total += 0.04 * disp_f_s * Temp_static
         metrics["disp_f_s_loss"] = disp_f_s
 
-        uv_b2 = jnp.stack([v_ref + 0.5, u_ref + 0.5], -1).astype(jnp.float32) + flow_b
-        rays_b_nd = _rays_from_uv(uv_b2, poses_b, focal, S)
-        xyz_b, zv_b, rv_b = sample_xyz(
-            rays_b_nd, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size, k5b,
-            det_jitter=S.golden_det,
-        )
-        stBB = eval_static_r(
-            params["static"], S.static_cfg, aabb, rays_b_nd, ts_train, xyz_b, zv_b, rv_b, S.ray_type,
-            packs[0],
-        )
+        stBB = res["BB"][1]
         _, induced_disp_s_bb = induce_flow(
             H, W, focal, poses_b, stBB.weights, stBB.pts_ref, grid_train, rays_b_nd, S.ray_type
         )
@@ -523,21 +704,8 @@ def train_loss(
             metrics["total_mono_depth_loss_static"] = md_s
 
         # ---------- PASS F/G: pixel-neighbor rays (train.py:2123-2311)
-        i_n = jnp.clip(i_px + 1, None, W - 1)
-        j_n = jnp.clip(j_px + 1, None, H - 1)
-        poses_per_ray = poses_mtx[view_ids]
-
-        def neighbor_depth(ii, jj, k):
-            dirs = get_ray_directions_lean(ii, jj, (focal, focal), (W / 2, H / 2))
-            ro, rd = get_rays_lean(dirs, poses_per_ray)
-            if S.ray_type == "ndc":
-                ro, rd = ndc_rays_blender(H, W, (focal, focal), 1.0, ro, rd)
-            rays_n = jnp.concatenate([ro, rd], -1)
-            out_n, _, _, _ = _dual_pass(params, S, aabb, rays_n, ts_train, k, detach_static=False, packs=packs)
-            return out_n.depth_s
-
-        depth_s_i = neighbor_depth(i_n, j_px, keys[6])
-        depth_s_j = neighbor_depth(i_px, j_n, keys[7])
+        depth_s_i = res["F"][0].depth_s
+        depth_s_j = res["G"][0].depth_s
         smooth = L.disp_smooth_loss(outE.depth_s, depth_s_i, depth_s_j)
         total += smooth * 50.0 * Temp_disp_TV
         metrics["disp_smooth_loss"] = smooth

@@ -281,6 +281,7 @@ class Trainer:
             golden_det=bool(getattr(a, "golden_det", 0)),
             mesh=self.mesh,
             remat=self._remat_policy(),
+            fused_passes=bool(getattr(a, "fused_passes", 1)),
         )
 
     def _remat_policy(self) -> bool:

@@ -5,7 +5,9 @@ On this TPU attachment `block_until_ready` returns before execution, so the
 only trustworthy wall-clock is enqueue-N-steps-then-fetch: step N's params
 depend on step N-1's, so fetching the last loss forces the whole chain.
 
-Usage: python scripts/step_time.py [n_voxel_exp=300] [iters=50] [--bf16]
+Usage: python scripts/step_time.py [n_voxel_exp=300] [iters=50] [--bf16] [--seq]
+
+--seq disables the batched multi-pass evaluation (fused_passes=0 A/B).
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ def main():
     n_voxel_side = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 300
     iters = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 50
     bf16 = "--bf16" in sys.argv
+    fused = 0 if "--seq" in sys.argv else 1
 
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
@@ -48,7 +51,7 @@ def main():
         f"--TV_weight_density 1.0 --TV_weight_app 1.0 "
         f"--distortion_weight_dynamic 0.01 "
         f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1 "
-        f"--bf16 {int(bf16)}"
+        f"--bf16 {int(bf16)} --fused_passes {fused}"
     )
     scene = make_synthetic_scene(T=T, H=H, W=W)
     t0 = time.perf_counter()

@@ -1,0 +1,73 @@
+"""Parity: batched multi-pass evaluation == sequential per-pass evaluation.
+
+The fused-pass step (train/step.py _batched_passes) concatenates all render
+passes' rays into shared field evaluations. Every op involved is row-wise
+independent, so values and gradients must match the sequential path to float
+tolerance (the per-pass RNG keys are split identically in both paths).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rodynrf_tpu.testing import tiny_trainer
+from rodynrf_tpu.train.step import train_loss
+
+
+def _loss_and_metrics(trainer, fused: bool, key, ray_idx, ray_idx_rand):
+    S = dataclasses.replace(trainer._statics(), fused_passes=fused)
+    sc = {
+        "iteration": jnp.asarray(5, jnp.int32),
+        "focal_fixed": jnp.asarray(trainer.focal_fixed, jnp.float32),
+    }
+    sc.update(
+        {k: jnp.asarray(v, jnp.float32) for k, v in trainer.schedule.scalars(5).items()}
+    )
+
+    def lf(p):
+        return train_loss(
+            p, S, trainer.aabb, trainer.data, ray_idx, ray_idx_rand, key, sc
+        )
+
+    (loss, metrics), grads = jax.jit(
+        jax.value_and_grad(lf, has_aux=True)
+    )(trainer.params)
+    return loss, metrics, grads
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("ray_type,optimize", [("ndc", 1), ("contract", 0)])
+def test_fused_matches_sequential(ray_type, optimize):
+    trainer = tiny_trainer(ray_type, optimize)
+    key = jax.random.PRNGKey(7)
+    ray_idx = jnp.asarray(trainer.sampler.nextids())
+    ray_idx_rand = jnp.asarray(trainer.sampler2.nextids())
+    loss_f, met_f, g_f = _loss_and_metrics(trainer, True, key, ray_idx, ray_idx_rand)
+    loss_s, met_s, g_s = _loss_and_metrics(trainer, False, key, ray_idx, ray_idx_rand)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_s), rtol=2e-5)
+    for k in met_s:
+        np.testing.assert_allclose(
+            np.asarray(met_f[k]), np.asarray(met_s[k]), rtol=5e-4, atol=1e-6,
+            err_msg=f"metric {k}",
+        )
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_s = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_s)
+    )
+    for path, v in flat_f:
+        ks = jax.tree_util.keystr(path)
+        r = flat_s[ks]
+        scale = max(float(jnp.abs(r).max()), 1e-8)
+        # the batched path coalesces every pass's table cotangents in ONE
+        # sorted reduction (sequential: per-pass sums added) — float
+        # reassociation, not a topology difference; detach-structure bugs
+        # show up as O(1) relative errors
+        np.testing.assert_allclose(
+            np.asarray(v) / scale, np.asarray(r) / scale, atol=5e-4,
+            err_msg=f"grad {ks}",
+        )
