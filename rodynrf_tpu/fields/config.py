@@ -40,6 +40,22 @@ class FieldConfig:
     # orientation (3x fewer indices both directions, ~2.3x more table HBM),
     # 'strided' one per stride; 'auto' picks by memory (ops/fused_vm.pack_vm)
     vm_layout: str = "auto"
+    # fixed-bucket appearance compaction: evaluate the appearance gather +
+    # shading MLP only on the top-K samples per ray by per-field weight
+    # (K = ceil(app_frac * n_samples), rounded up to a multiple of 8), with
+    # the reference's `weight > ray_march_weight_thres` zeroing applied in
+    # compacted space (reference: tensorBase.py:774-804 `app_mask`). Exact
+    # vs the dense path whenever per-ray above-threshold occupancy <= K.
+    # 0.0 = dense (appearance on every sample).
+    app_frac: float = 0.0
+
+    def app_topk(self, n_samples: int) -> int:
+        """Static per-ray appearance bucket size for S samples/ray."""
+        if self.app_frac <= 0.0:
+            return 0
+        k = int(np.ceil(self.app_frac * n_samples))
+        k = ((k + 7) // 8) * 8
+        return min(n_samples, max(8, k))
 
     @property
     def gather_dtype(self):

@@ -146,9 +146,33 @@ def pack_tables(params, cfg: FieldConfig):
     Hoist this OUT of per-pass evaluation code (train/step.py builds it once
     per step, render code once per frame): the table construction — and with
     the merged layout its static-index takes — must not re-run per render
-    pass or per remat recomputation."""
+    pass or per remat recomputation.
+
+    With appearance compaction (cfg.app_frac > 0) the density+blending grids
+    and the appearance grid pack into SEPARATE tables: the narrow
+    density+blending rows are gathered for every sample, the wide appearance
+    rows only for the per-ray top-K bucket (render/pipeline.py), so the
+    gathered appearance block shrinks by 1/app_frac both directions."""
     from ..ops.fused_vm import pack_vm
 
+    if cfg.app_frac > 0.0:
+        return {
+            "db": pack_vm(
+                [
+                    (params["density_plane"], params["density_line"]),
+                    (params["blending_plane"], params["blending_line"]),
+                ],
+                strides=MULTISCALE_STRIDES,
+                gather_dtype=cfg.gather_dtype,
+                layout=cfg.vm_layout,
+            ),
+            "app": pack_vm(
+                [(params["app_plane"], params["app_line"])],
+                strides=MULTISCALE_STRIDES,
+                gather_dtype=cfg.gather_dtype,
+                layout=cfg.vm_layout,
+            ),
+        }
     return pack_vm(
         [
             (params["density_plane"], params["density_line"]),
@@ -177,6 +201,9 @@ def all_features_fused(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n, packed=
 
     if packed is None:
         packed = pack_tables(params, cfg)
+    if isinstance(packed, dict):  # split (compaction) pack, dense evaluation
+        sigma, blend = density_blend_fused(params, cfg, xyz_n, t, xyz_warped_n, packed)
+        return sigma, blend, app_fused(params, cfg, xyz_warped_n, packed)
     dens_f, blend_f, app_f = sample_vm_fused(packed, xyz_warped_n)
     head_in = _head_inputs(dens_f, xyz_n, t)
     sigma = mlp_apply(params["density_head"], head_in)[..., 0]
@@ -185,6 +212,28 @@ def all_features_fused(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n, packed=
     )[..., 0]
     app = app_f @ params["basis_mat"]
     return sigma, blend, app
+
+
+def density_blend_fused(params, cfg: FieldConfig, xyz_n, t, xyz_warped_n, packed):
+    """Phase-1 of the compacted evaluation: density + blending on every
+    sample (their grids share one narrow fused take). Returns
+    (sigma_raw [N], blending_raw [N])."""
+    from ..ops.fused_vm import sample_vm_fused
+
+    dens_f, blend_f = sample_vm_fused(packed["db"], xyz_warped_n)
+    sigma = mlp_apply(params["density_head"], _head_inputs(dens_f, xyz_n, t))[..., 0]
+    blend = mlp_apply(params["blending_head"], _head_inputs(blend_f, xyz_n, t))[..., 0]
+    return sigma, blend
+
+
+def app_fused(params, cfg: FieldConfig, xyz_warped_n, packed):
+    """Phase-2 of the compacted evaluation: appearance features at the
+    (compacted) warped coordinates [M, 3] -> [M, app_dim]. The caller decides
+    M — every sample (dense) or the per-ray top-K bucket."""
+    from ..ops.fused_vm import sample_vm_fused
+
+    (app_f,) = sample_vm_fused(packed["app"], xyz_warped_n)
+    return app_f @ params["basis_mat"]
 
 
 def scene_flow(params, xyz_unnorm: jnp.ndarray, t: jnp.ndarray, aabb):

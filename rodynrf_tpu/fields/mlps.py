@@ -141,7 +141,11 @@ def apply_shading(params, mode, view_pe, fea_pe, pos_pe, pts, viewdirs, feats, t
         return jax.nn.sigmoid(mlp_apply(params["mlp"], jnp.concatenate(indata, -1)))
 
     if mode == "MLP_PE":
-        indata = [feats, viewdirs]
+        # raw pts is part of in_c at init ((3 + 2*pos_pe*3) block); the
+        # reference's MLPRender_PE.forward omits it and therefore crashes on
+        # a channel mismatch whenever this mode is selected
+        # (tensorBase.py:165-199 init vs forward) — fixed, not copied.
+        indata = [feats, viewdirs, pts]
         if pos_pe > 0:
             indata.append(positional_encoding(pts, pos_pe))
         if view_pe > 0:

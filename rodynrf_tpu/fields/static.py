@@ -81,9 +81,26 @@ def app_feature(params, xyz_n: jnp.ndarray, gather_dtype=None) -> jnp.ndarray:
 
 
 def pack_tables(params, cfg: FieldConfig):
-    """Fused gather tables for the static field (see dynamic.pack_tables)."""
+    """Fused gather tables for the static field (see dynamic.pack_tables).
+
+    With appearance compaction (cfg.app_frac > 0) density and appearance
+    pack separately: density rows are gathered for every sample, appearance
+    rows only for the per-ray top-K bucket (render/pipeline.py)."""
     from ..ops.fused_vm import pack_vm
 
+    if cfg.app_frac > 0.0:
+        return {
+            "db": pack_vm(
+                [(params["density_plane"], params["density_line"])],
+                strides=(1,),
+                gather_dtype=cfg.gather_dtype,
+            ),
+            "app": pack_vm(
+                [(params["app_plane"], params["app_line"])],
+                strides=(1,),
+                gather_dtype=cfg.gather_dtype,
+            ),
+        }
     return pack_vm(
         [
             (params["density_plane"], params["density_line"]),
@@ -101,10 +118,14 @@ def all_features_fused(params, cfg: FieldConfig, xyz_n, packed=None):
     Returns (sigma_feat [N], app [N, app_dim]) bit-identical to
     density_feature/app_feature.
     """
-    from ..ops.fused_vm import sample_vm_fused
-
     if packed is None:
         packed = pack_tables(params, cfg)
+    if isinstance(packed, dict):  # split (compaction) pack, dense evaluation
+        return density_fused(params, cfg, xyz_n, packed), app_fused(
+            params, cfg, xyz_n, packed
+        )
+    from ..ops.fused_vm import sample_vm_fused
+
     dens_f, app_f = sample_vm_fused(packed, xyz_n)
     # Σ_axes Σ_c with sample_vm_sum's per-axis add order
     n_comp = [p.shape[0] for p in params["density_plane"]]
@@ -114,6 +135,30 @@ def all_features_fused(params, cfg: FieldConfig, xyz_n, packed=None):
         sigma = sigma + jnp.sum(dens_f[:, c0 : c0 + c], axis=-1)
         c0 += c
     return sigma, app_f @ params["basis_mat"]
+
+
+def density_fused(params, cfg: FieldConfig, xyz_n, packed):
+    """Phase-1 of the compacted static evaluation: Σ_axes Σ_c plane⊙line
+    density feature on every sample. Returns [N]."""
+    from ..ops.fused_vm import sample_vm_fused
+
+    (dens_f,) = sample_vm_fused(packed["db"], xyz_n)
+    n_comp = [p.shape[0] for p in params["density_plane"]]
+    sigma = jnp.zeros(xyz_n.shape[0], xyz_n.dtype)
+    c0 = 0
+    for c in n_comp:
+        sigma = sigma + jnp.sum(dens_f[:, c0 : c0 + c], axis=-1)
+        c0 += c
+    return sigma
+
+
+def app_fused(params, cfg: FieldConfig, xyz_n, packed):
+    """Phase-2 of the compacted static evaluation: appearance features at
+    the (compacted) coordinates [M, 3] -> [M, app_dim]."""
+    from ..ops.fused_vm import sample_vm_fused
+
+    (app_f,) = sample_vm_fused(packed["app"], xyz_n)
+    return app_f @ params["basis_mat"]
 
 
 def feature2density(feat: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:

@@ -5,6 +5,14 @@ Functional equivalent of the reference's `TensorBase.forward`
 dense over a static [rays, samples] layout with `where`-masking instead of
 boolean gathers (`xyz[ray_valid]`, `rgb[app_mask]`), which XLA maps onto the
 VPU/MXU without scatter.
+
+With appearance compaction (cfg.app_frac > 0, ops/compaction.py) the
+reference's data-dependent `app_mask` sparsity (tensorBase.py:774-804) is
+recovered with static shapes: density (and blending) are evaluated densely,
+then the appearance gather + shading MLP run only on the K highest-weight
+samples of each ray, with the reference's `weight > thres` zeroing applied in
+compacted space. Exact vs the dense path whenever per-ray above-threshold
+occupancy <= K.
 """
 
 from __future__ import annotations
@@ -19,6 +27,7 @@ from ..fields import static as stat
 from ..fields.config import FieldConfig
 from ..fields.mlps import apply_shading
 from ..fields.static import feature2density
+from ..ops.compaction import compact_rows, expand_rows, topk_select
 from ..ops.compositing import raw2alpha
 
 
@@ -46,6 +55,31 @@ def _dists_and_viewdirs(rays, z_vals, ray_type):
     return dists, viewdirs
 
 
+def _shade_compacted(shading_params, cfg: FieldConfig, weight, idx_keep, pts, vd_rays, app_fn, ts):
+    """Appearance gather + shading MLP on the per-ray top-K bucket only.
+
+    pts: [R, S, C3] coordinate channels to compact (sample positions, plus
+    warped positions first for the dynamic field — the leading 3 channels
+    feed the appearance gather). Returns dense rgb [R, S, 3] with zeros off
+    the bucket (reference app_mask semantics, tensorBase.py:774-804).
+    """
+    R, S = weight.shape
+    idx, keep = idx_keep
+    K = idx.shape[1]
+    pts_k = compact_rows(pts, idx)  # [R, K, C3]
+    gather_k = pts_k[..., :3].reshape(-1, 3)
+    pos_k = pts_k[..., -3:].reshape(-1, 3)
+    app_feats = app_fn(gather_k)
+    vd = jnp.broadcast_to(vd_rays[:, None, :], (R, K, 3)).reshape(-1, 3)
+    t_in = jnp.broadcast_to(ts[:, None], (R, K)).reshape(-1, 1)
+    rgb_k = apply_shading(
+        shading_params, cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
+        pos_k, vd, app_feats, t_in,
+    ).reshape(R, K, 3)
+    rgb_k = rgb_k * keep[..., None]
+    return expand_rows(rgb_k, idx, S)
+
+
 def eval_static_field(
     params,
     cfg: FieldConfig,
@@ -68,20 +102,36 @@ def eval_static_field(
     xyz_n = dyn.normalize_coord(xyz, aabb)
     flat = xyz_n.reshape(-1, 3)
 
-    # fused mega-take: density + appearance in one gather (ops/fused_vm.py)
-    sigma_feat, app_feats = stat.all_features_fused(params, cfg, flat, packed=packed)
-    sigma_feat = sigma_feat.reshape(R, S)
+    if packed is None:
+        packed = stat.pack_tables(params, cfg)
+    K = cfg.app_topk(S)
+    compacted = isinstance(packed, dict) and 0 < K < S
+
+    if compacted:
+        sigma_feat = stat.density_fused(params, cfg, flat, packed).reshape(R, S)
+    else:
+        # fused mega-take: density + appearance in one gather (ops/fused_vm.py)
+        sigma_feat, app_feats = stat.all_features_fused(params, cfg, flat, packed=packed)
+        sigma_feat = sigma_feat.reshape(R, S)
     sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
 
     _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
-    app_mask = weight > cfg.ray_march_weight_thres
-    vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
-    t_in = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1, 1)
-    rgb_raw = apply_shading(
-        params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
-        flat, vd, app_feats, t_in,
-    ).reshape(R, S, 3)
-    rgb = jnp.where(app_mask[..., None], rgb_raw, 0.0)
+
+    if compacted:
+        idx_keep = topk_select(weight, K, cfg.ray_march_weight_thres)
+        rgb = _shade_compacted(
+            params["shading"], cfg, weight, idx_keep, xyz_n, viewdirs,
+            lambda pts: stat.app_fused(params, cfg, pts, packed), ts,
+        )
+    else:
+        app_mask = weight > cfg.ray_march_weight_thres
+        vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+        t_in = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1, 1)
+        rgb_raw = apply_shading(
+            params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
+            flat, vd, app_feats, t_in,
+        ).reshape(R, S, 3)
+        rgb = jnp.where(app_mask[..., None], rgb_raw, 0.0)
 
     return FieldEval(
         blending=None,
@@ -124,22 +174,43 @@ def eval_dynamic_field(
     xyz_prime = dyn.warp_coordinate(params, xyz_flat, t_flat, aabb)
     xyz_prime_n = dyn.normalize_coord(xyz_prime, aabb)
 
-    # fused mega-take: density + blending + appearance share one gather
-    # (ops/fused_vm.py; 12x fewer gathered rows than per-grid sampling)
-    sigma_feat, blend_feat, app_feats = dyn.all_features_fused(
-        params, cfg, flat_n, t_flat, xyz_prime_n, packed=packed
-    )
+    if packed is None:
+        packed = dyn.pack_tables(params, cfg)
+    K = cfg.app_topk(S)
+    compacted = isinstance(packed, dict) and 0 < K < S
+
+    if compacted:
+        sigma_feat, blend_feat = dyn.density_blend_fused(
+            params, cfg, flat_n, t_flat, xyz_prime_n, packed
+        )
+    else:
+        # fused mega-take: density + blending + appearance share one gather
+        # (ops/fused_vm.py; 12x fewer gathered rows than per-grid sampling)
+        sigma_feat, blend_feat, app_feats = dyn.all_features_fused(
+            params, cfg, flat_n, t_flat, xyz_prime_n, packed=packed
+        )
     sigma_feat = sigma_feat.reshape(R, S)
     sigma = jnp.where(ray_valid, feature2density(sigma_feat, cfg), 0.0)
 
     _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
-    app_mask = weight > cfg.ray_march_weight_thres
-    vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
-    rgb_raw = apply_shading(
-        params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
-        flat_n, vd, app_feats, t_flat[:, None],
-    ).reshape(R, S, 3)
-    rgb = jnp.where(app_mask[..., None], rgb_raw, 0.0)
+
+    if compacted:
+        idx_keep = topk_select(weight, K, cfg.ray_march_weight_thres)
+        # leading 3 channels: warped coords (appearance gather position);
+        # trailing 3: unwarped normalized coords (shading MLP pts input)
+        pts6 = jnp.concatenate([xyz_prime_n.reshape(R, S, 3), xyz_n], axis=-1)
+        rgb = _shade_compacted(
+            params["shading"], cfg, weight, idx_keep, pts6, viewdirs,
+            lambda pts: dyn.app_fused(params, cfg, pts, packed), ts,
+        )
+    else:
+        app_mask = weight > cfg.ray_march_weight_thres
+        vd = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+        rgb_raw = apply_shading(
+            params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
+            flat_n, vd, app_feats, t_flat[:, None],
+        ).reshape(R, S, 3)
+        rgb = jnp.where(app_mask[..., None], rgb_raw, 0.0)
 
     blending = jnp.where(ray_valid, jax.nn.sigmoid(blend_feat.reshape(R, S)), 0.0)
 

@@ -158,6 +158,20 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         help="batch all render passes into shared field evals "
                         "(one dynamic + two static instances per step instead "
                         "of 7+2; identical math, train/step.py)")
+    parser.add_argument("--app_frac", type=float, default=0.0,
+                        help="fixed-bucket appearance compaction: run the "
+                        "appearance gather + shading MLP on the top "
+                        "ceil(app_frac*n_samples) samples per ray only "
+                        "(reference app_mask semantics, tensorBase.py:774-804; "
+                        "ops/compaction.py). 0 = dense (default: the dense "
+                        "path currently measures FASTER on TPU — narrow-row "
+                        "compaction gathers/scatters are index-rate bound, "
+                        "PERF.md §8)")
+    parser.add_argument("--app_start", type=int, default=-1,
+                        help="iteration from which appearance compaction is "
+                        "active; -1 = at the first voxel upsample (density is "
+                        "concentrated by then, so the top-K bucket covers the "
+                        "reference's above-threshold samples), 0 = immediately")
     parser.add_argument("--remat", type=str, default="auto", choices=["auto", "on", "off"],
                         help="rematerialize field evals in backward: 'auto' stores "
                         "activations when the grid schedule fits HBM (faster), "

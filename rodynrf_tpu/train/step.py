@@ -102,6 +102,13 @@ class StepStatics:
     # per-instance gather/scatter overhead that dominates the TPU step and
     # runs the MLPs at MXU-friendly batch sizes.
     fused_passes: bool = True
+    # max dual passes per batched DYNAMIC field eval (0 = all in one). The
+    # gathered corner rows of one eval ([passes*B*S, 12, C] take output plus
+    # its masked copy) are live simultaneously; chunking bounds them while
+    # keeping each take far above the gather-rate plateau. The trainer sizes
+    # this from the HBM budget (trainer._pass_chunk); the static evals'
+    # rows are ~5x narrower and stay unchunked.
+    pass_chunk: int = 0
     # data-parallel mesh: when set, the ray batch's partitioning is asserted
     # with sharding constraints instead of relying on GSPMD inference. The
     # trainer guarantees the batch divides this mesh (non-divisible batches
@@ -286,9 +293,28 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         run_static = jax.checkpoint(run_static)
         run_dynamic = jax.checkpoint(run_dynamic)
 
-    # dynamic: one eval over all dual passes
-    d_rays, d_ts, d_xyz, d_zv, d_rv = group_inputs(dual_names)
-    dn_all = run_dynamic(params["dynamic"], d_rays, d_ts, d_xyz, d_zv, d_rv, packed_dn)
+    # dynamic: one eval over all dual passes — chunked when S.pass_chunk > 0
+    # so one eval's gathered-row temps fit HBM (each chunk is its own remat
+    # region; takes stay far above the gather-rate plateau)
+    d_rays = _shard_rows(_cat([specs[n].rays for n in dual_names]))
+    if S.pass_chunk and S.pass_chunk < len(dual_names):
+        chunks = [
+            dual_names[i : i + S.pass_chunk]
+            for i in range(0, len(dual_names), S.pass_chunk)
+        ]
+    else:
+        chunks = [dual_names]
+    dn_parts = []
+    for grp in chunks:
+        g = group_inputs(grp)
+        dn_parts.append(
+            run_dynamic(params["dynamic"], g[0], g[1], g[2], g[3], g[4], packed_dn)
+        )
+    dn_all = (
+        dn_parts[0]
+        if len(dn_parts) == 1
+        else jax.tree_util.tree_map(lambda *xs: _cat(list(xs)), *dn_parts)
+    )
 
     # static, fully detached group (reference detaches static in A-D)
     st_parts = []

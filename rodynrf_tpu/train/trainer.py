@@ -158,6 +158,7 @@ class Trainer:
         self.sampler_override = None
         if getattr(args, "ckpt", None):
             self._resume(args.ckpt)
+        self._refresh_app_frac()
         self._build_step()
 
     def save_full(self, path: str):
@@ -282,18 +283,58 @@ class Trainer:
             mesh=self.mesh,
             remat=self._remat_policy(),
             fused_passes=bool(getattr(a, "fused_passes", 1)),
+            pass_chunk=self._pass_chunk(),
         )
 
+    def _gather_row_bytes(self) -> tuple:
+        """(per-pass dynamic-eval gathered-row bytes, per-pass static) —
+        the dominant HBM temps: 12 corner rows (3 orientations x 4 corners)
+        x packed channels per sample, density+blending dense, appearance
+        scaled by the compaction top-K fraction."""
+        S = self.n_samples
+        B = int(self.args.batch_size)
+        dt = 2 if self.dynamic_cfg.grid_sample_dtype == "bfloat16" else 4
+        k = self.dynamic_cfg.app_topk(S)
+        app_f = (k / S) if 0 < k < S else 1.0
+        c_dyn = 3 * (  # 3 multiscale strides
+            sum(self.dynamic_cfg.density_n_comp) * 2  # density + blending
+            + sum(self.dynamic_cfg.app_n_comp) * app_f
+        )
+        c_st = sum(self.static_cfg.density_n_comp) + sum(
+            self.static_cfg.app_n_comp
+        ) * app_f
+        return B * S * 12 * c_dyn * dt, B * S * 12 * c_st * dt
+
+    def _pass_chunk(self) -> int:
+        """Max dual passes per batched dynamic field eval: one eval's take
+        output + masked copy must fit a ~8 GB live-temp budget (measured at
+        300^3 dense bf16: 4 passes/chunk OOMs by 70 MB -> 3 fits; 7 f32
+        passes at 18.7 GB OOM)."""
+        per_pass, _ = self._gather_row_bytes()
+        return max(1, int(8e9 // max(per_pass, 1)))
+
     def _remat_policy(self) -> bool:
-        """'auto' stores backward activations when the final grid fits HBM
-        alongside them (measured: ~25% faster at <=300^3) and rematerializes
-        on the 640^3-class schedules where the residuals would not fit."""
+        """'auto' stores backward activations when they fit HBM (measured:
+        ~25% faster) and rematerializes the field evals otherwise.
+
+        The dominant residuals are the gathered corner rows of the batched
+        field evals (fused_vm take output plus its masked copy): per sample,
+        12 rows (3 orientations x 4 corners) x the packed channel count —
+        density + blending on every sample, appearance scaled by the
+        compaction fraction. The byte estimate below, x0.65 (XLA does not
+        keep every eval's rows live simultaneously; calibrated against the
+        measured 15.7 GB HLO-temp footprint of the 300^3 f32 dense case),
+        must fit a 9 GB budget (16 GB HBM minus params/opt/grads and
+        forward temps)."""
         mode = getattr(self.args, "remat", "auto")
         if mode == "on":
             return True
         if mode == "off":
             return False
-        return int(self.args.N_voxel_final) > 350 ** 3
+        # ~7 dual passes (dynamic+static) + ~2 static-only, per step
+        per_dyn, per_st = self._gather_row_bytes()
+        est = (7 * per_dyn + 9 * per_st) * 0.65
+        return est > 9e9
 
     def _build_step(self):
         self.step_fn = make_train_step(self._statics())
@@ -332,9 +373,42 @@ class Trainer:
         # upsample at the END of iteration i when i in upsamp_list — the
         # reference's in-body check (train.py:2582), so the upsampled grid is
         # first used by iteration i+1
+        cfg_changed = self._refresh_app_frac()
         if i in self.args.upsamp_list:
             self._upsample(i)
+        elif cfg_changed:
+            self._build_step()
         return metrics
+
+    def _app_start_eff(self) -> int:
+        """First iteration with appearance compaction active (-1 = never).
+
+        Default (--app_start -1): the step after the first voxel upsample —
+        by then density has concentrated, so the per-ray top-K bucket covers
+        the reference's above-threshold samples and the compacted step is
+        exact (ops/compaction.py). Before that, weights are near-uniform and
+        truncation would alter early optimization vs the reference."""
+        a = self.args
+        if getattr(a, "app_frac", 0.0) <= 0.0:
+            return -1
+        start = int(getattr(a, "app_start", -1))
+        if start >= 0:
+            return start
+        ups = sorted(a.upsamp_list)
+        return (int(ups[0]) + 1) if ups else 0
+
+    def _refresh_app_frac(self) -> bool:
+        """Sync cfg.app_frac with the activation schedule; True if changed
+        (the caller must rebuild the jitted step)."""
+        import dataclasses
+
+        eff = self._app_start_eff()
+        af = float(self.args.app_frac) if (eff >= 0 and self.iteration >= eff) else 0.0
+        if af == self.static_cfg.app_frac:
+            return False
+        self.static_cfg = dataclasses.replace(self.static_cfg, app_frac=af)
+        self.dynamic_cfg = dataclasses.replace(self.dynamic_cfg, app_frac=af)
+        return True
 
     def _upsample(self, iteration: int):
         """Coarse-to-fine grid growth (reference: train.py:2582-2606)."""

@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 OUT = os.path.join(HERE, "schedule_timing.json")
 
 
-def measure(n_voxel: int, bf16: bool, remat: str, iters: int):
+def measure(n_voxel: int, bf16: bool, remat: str, iters: int, app_frac: float = 0.25):
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
 
@@ -51,7 +51,10 @@ def measure(n_voxel: int, bf16: bool, remat: str, iters: int):
         f"--TV_weight_density 1.0 --TV_weight_app 1.0 "
         f"--distortion_weight_dynamic 0.01 "
         f"--optimize_poses 0 --optimize_focal_length 0 --use_disp 1 "
-        f"--bf16 {int(bf16)} --remat {remat}"
+        # compaction active from the first upsample in a real run
+        # (--app_start -1); each phase here starts AT its grid, so pass the
+        # effective state explicitly: off for phase 0, on afterwards
+        f"--bf16 {int(bf16)} --remat {remat} --app_frac {app_frac} --app_start 0"
     )
     scene = make_synthetic_scene(T=T, H=H, W=W)
     tr = Trainer(args, scene)
@@ -69,6 +72,7 @@ def measure(n_voxel: int, bf16: bool, remat: str, iters: int):
         "grid": list(tr.static_cfg.grid_size),
         "n_samples": tr.n_samples,
         "remat": tr._remat_policy(),
+        "app_frac": app_frac,
         "vm_layout_auto": "merged" if _merged(tr) else "strided",
         "step_ms": round(dt * 1e3, 1),
         "rays_per_sec": round(1024 / dt, 1),
@@ -101,17 +105,18 @@ def main():
         with open(OUT) as fh:
             results = json.load(fh)
 
-    cases = [(f"phase{i}_{round(v ** (1 / 3))}", int(v), True, "auto")
+    cases = [(f"phase{i}_{round(v ** (1 / 3))}", int(v), True, "auto", 0.0)
              for i, v in enumerate(list(phases))]
     cases += [
-        ("640_bf16_remat_off", 262144000, True, "off"),
-        ("640_f32_remat_auto", 262144000, False, "auto"),
+        ("640_bf16_remat_off", 262144000, True, "off", 0.0),
+        ("640_f32_remat_auto", 262144000, False, "auto", 0.0),
+        ("640_bf16_compact_app", 262144000, True, "auto", 0.25),
     ]
-    for name, v, bf16, remat in cases:
+    for name, v, bf16, remat, app in cases:
         if name in results:
             continue
         try:
-            results[name] = measure(v, bf16, remat, iters)
+            results[name] = measure(v, bf16, remat, iters, app_frac=app)
         except Exception as e:  # OOM etc. — record honestly
             results[name] = {"error": str(e)[:300]}
         print(name, json.dumps(results[name]), flush=True)

@@ -6,6 +6,7 @@ only trustworthy wall-clock is enqueue-N-steps-then-fetch: step N's params
 depend on step N-1's, so fetching the last loss forces the whole chain.
 
 Usage: python scripts/step_time.py [n_voxel_exp=300] [iters=50] [--bf16] [--seq]
+           [--remat on|off|auto]
 
 --seq disables the batched multi-pass evaluation (fused_passes=0 A/B).
 """
@@ -32,6 +33,11 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 50
     bf16 = "--bf16" in sys.argv
     fused = 0 if "--seq" in sys.argv else 1
+    remat = sys.argv[sys.argv.index("--remat") + 1] if "--remat" in sys.argv else "auto"
+    # default 0.0 = production default (dense app); pass --app_frac for A/B
+    app_frac = 0.0 if "--dense-app" in sys.argv else (
+        float(sys.argv[sys.argv.index("--app_frac") + 1]) if "--app_frac" in sys.argv else 0.0
+    )
 
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
@@ -51,7 +57,8 @@ def main():
         f"--TV_weight_density 1.0 --TV_weight_app 1.0 "
         f"--distortion_weight_dynamic 0.01 "
         f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1 "
-        f"--bf16 {int(bf16)} --fused_passes {fused}"
+        f"--bf16 {int(bf16)} --fused_passes {fused} --remat {remat} "
+        f"--app_frac {app_frac} --app_start 0"
     )
     scene = make_synthetic_scene(T=T, H=H, W=W)
     t0 = time.perf_counter()

@@ -71,3 +71,51 @@ def test_fused_matches_sequential(ray_type, optimize):
             np.asarray(v) / scale, np.asarray(r) / scale, atol=5e-4,
             err_msg=f"grad {ks}",
         )
+
+
+@pytest.mark.integration
+def test_chunked_matches_unchunked():
+    """pass_chunk=2 (4 chunked dynamic evals) == single batched eval.
+
+    Chunking only re-groups rows across eval instances — values and
+    gradients must match to float tolerance (concat order is preserved)."""
+    trainer = tiny_trainer("ndc", 1)
+    key = jax.random.PRNGKey(11)
+    ray_idx = jnp.asarray(trainer.sampler.nextids())
+    ray_idx_rand = jnp.asarray(trainer.sampler2.nextids())
+
+    def run(chunk):
+        S = dataclasses.replace(
+            trainer._statics(), fused_passes=True, pass_chunk=chunk
+        )
+        sc = {
+            "iteration": jnp.asarray(5, jnp.int32),
+            "focal_fixed": jnp.asarray(trainer.focal_fixed, jnp.float32),
+        }
+        sc.update(
+            {k: jnp.asarray(v, jnp.float32)
+             for k, v in trainer.schedule.scalars(5).items()}
+        )
+
+        def lf(p):
+            return train_loss(
+                p, S, trainer.aabb, trainer.data, ray_idx, ray_idx_rand, key, sc
+            )
+
+        return jax.jit(jax.value_and_grad(lf, has_aux=True))(trainer.params)
+
+    (loss_1, met_1), g_1 = run(0)
+    (loss_2, met_2), g_2 = run(2)
+    np.testing.assert_allclose(float(loss_2), float(loss_1), rtol=2e-5)
+    flat_1 = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_1)
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(g_2):
+        ks = jax.tree_util.keystr(path)
+        r = flat_1[ks]
+        scale = max(float(jnp.abs(r).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(v) / scale, np.asarray(r) / scale, atol=5e-4,
+            err_msg=f"grad {ks}",
+        )
