@@ -67,7 +67,7 @@ def _fwd_math(table, rows, w4):
     M = rows.shape[0]
     C4 = table.shape[1]
     C = C4 // 4
-    vals = jnp.take(table, rows, axis=0).astype(jnp.float32).reshape(M, 4, C)
+    vals = table.at[rows].get(mode="promise_in_bounds").astype(jnp.float32).reshape(M, 4, C)
     return (
         vals[:, 0] * w4[:, 0, None]
         + vals[:, 1] * w4[:, 1, None]
@@ -87,7 +87,7 @@ def _planes_sample_bwd(impl, res, ct):
     C = C4 // 4
     # w4 cotangent: <vals[m, k, :], ct[m, :]> — re-take the rows instead of
     # storing [M, 4, C] activations (index ops are cheaper than HBM here)
-    vals = jnp.take(table, rows, axis=0).astype(jnp.float32).reshape(M, 4, C)
+    vals = table.at[rows].get(mode="promise_in_bounds").astype(jnp.float32).reshape(M, 4, C)
     ct_w4 = jnp.einsum("mc,mkc->mk", ct, vals)
 
     ct_table = coalesce_table_grad(rows, w4, ct, table.shape[0], impl=impl)
@@ -134,7 +134,9 @@ def _coalesce_xla(rows, w4, ct, R: int) -> jnp.ndarray:
     M, C = ct.shape
     K = w4.shape[1]
     upd = (w4[:, :, None].astype(ct.dtype) * ct[:, None, :]).reshape(M, K * C)
-    return jnp.zeros((R, K * C), ct.dtype).at[rows].add(upd).astype(jnp.float32)
+    return jnp.zeros((R, K * C), ct.dtype).at[rows].add(
+        upd, mode="promise_in_bounds"
+    ).astype(jnp.float32)
 
 
 # --- Pallas streaming coalesce ---------------------------------------------
@@ -251,7 +253,7 @@ def _coalesce_pallas(rows, w4, ct, R: int) -> jnp.ndarray:
     rows_s, perm = jax.lax.sort_key_val(rows.astype(jnp.int32),
                                         jnp.arange(M, dtype=jnp.int32))
     wct = jnp.concatenate([w4.astype(ct.dtype), ct], axis=1)  # [M, K+C]
-    wct_s = jnp.take(wct, perm, axis=0)
+    wct_s = wct.at[perm].get(mode="promise_in_bounds")
     if Mp != M:
         # sentinel key: last texel of the last block with zero weights —
         # contributes nothing, keeps the stream sorted

@@ -223,7 +223,7 @@ def merge_strided_tables(tables: Tuple[jnp.ndarray, ...], static) -> jnp.ndarray
     out = []
     for t, (ymap, xmap, wp) in zip(tables, maps):
         rows = (jnp.asarray(ymap)[:, None] * wp + jnp.asarray(xmap)[None, :]).reshape(-1)
-        out.append(jnp.take(t, rows, axis=0))
+        out.append(t.at[rows].get(mode="promise_in_bounds"))
     return jnp.concatenate(out, axis=1)
 
 
@@ -241,7 +241,7 @@ def _bounded_axis_sum(ct3, starts, counts):
     for j in range(wmax):
         sel = np.minimum(starts + j, L - 1)
         mask = (j < counts)
-        contrib = jnp.take(ct3, jnp.asarray(sel), axis=0)
+        contrib = ct3.at[jnp.asarray(sel)].get(mode="promise_in_bounds")
         mshape = (len(starts),) + (1,) * (ct3.ndim - 1)
         out = out + jnp.where(jnp.asarray(mask).reshape(mshape), contrib, 0.0)
     return out
@@ -543,7 +543,12 @@ def _sample_vm_fused_merged(packed: PackedVM, xyz: jnp.ndarray) -> List[jnp.ndar
         # keep the gathered block in table dtype; the f32 upcast happens
         # per-slice inside the weighting FMA (XLA fuses it — no [N, nS*4*Cp]
         # f32 materialization, which costs ~8 ms/eval at the 300³ shapes)
-        vals = jnp.take(packed.tables[o], rows, axis=0).reshape(N, nS, 4, Cp)
+        # promise_in_bounds: rows are in range by construction (_axis_lerp
+        # clips + halo rows); jnp.take's default mode='fill' adds a select_n
+        # MASKED COPY of the whole gathered block — measured as the largest
+        # HLO temp of the train step (2.77 GB at 300^3 f32) and a full extra
+        # pass over the block
+        vals = packed.tables[o].at[rows].get(mode="promise_in_bounds").reshape(N, nS, 4, Cp)
         for si in range(nS):
             w4 = w_strides[si]
             plane_feats = (

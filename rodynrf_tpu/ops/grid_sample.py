@@ -69,7 +69,9 @@ def sample_plane(
 
     def corner(yi, xi, ib):
         idx = yi * s * W + xi * s
-        vals = jnp.take(flat, idx, axis=0).astype(jnp.float32)  # [N, C]
+        # promise_in_bounds: idx clipped in _lerp_weights_1d; the default
+        # mode="fill" adds a full masked copy of the gathered block
+        vals = flat.at[idx].get(mode="promise_in_bounds").astype(jnp.float32)  # [N, C]
         return vals * ib[:, None]
 
     w00 = (1 - wy) * (1 - wx)
@@ -95,8 +97,8 @@ def sample_line(line: jnp.ndarray, z: jnp.ndarray, stride: int = 1) -> jnp.ndarr
     Ls = _strided_len(L, stride)
     z0, z1, wz, ib0, ib1 = _lerp_weights_1d(z, Ls)
     flat = line.T  # [L, C]
-    v0 = jnp.take(flat, z0 * stride, axis=0) * ib0[:, None]
-    v1 = jnp.take(flat, z1 * stride, axis=0) * ib1[:, None]
+    v0 = flat.at[z0 * stride].get(mode="promise_in_bounds") * ib0[:, None]
+    v1 = flat.at[z1 * stride].get(mode="promise_in_bounds") * ib1[:, None]
     return v0 * (1 - wz[:, None]) + v1 * wz[:, None]
 
 
@@ -150,7 +152,7 @@ def sample_grid3d(vol: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
 
     def corner(zi, yi, xi, ib, w):
         idx = (zi * H + yi) * W + xi
-        return jnp.take(flat, idx, axis=0) * (ib * w)[:, None]
+        return flat.at[idx].get(mode="promise_in_bounds") * (ib * w)[:, None]
 
     out = (
         corner(z0, y0, x0, ibz0 & iby0 & ibx0, (1 - wz) * (1 - wy) * (1 - wx))

@@ -154,7 +154,7 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument("--vm_layout", type=str, default="auto",
                         choices=["auto", "merged", "strided"],
                         help="multiscale gather-table layout (ops/fused_vm.py)")
-    parser.add_argument("--fused_passes", type=int, default=1,
+    parser.add_argument("--fused_passes", type=int, default=0,
                         help="batch all render passes into shared field evals "
                         "(one dynamic + two static instances per step instead "
                         "of 7+2; identical math, train/step.py)")

@@ -305,11 +305,20 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
     else:
         chunks = [dual_names]
     dn_parts = []
+    dep = None
     for grp in chunks:
         g = group_inputs(grp)
-        dn_parts.append(
-            run_dynamic(params["dynamic"], g[0], g[1], g[2], g[3], g[4], packed_dn)
-        )
+        if dep is not None:
+            # serialize the chunks: without this barrier XLA overlaps every
+            # chunk's eval (and, via the barrier's transpose, every chunk's
+            # rematted backward), keeping all chunks' gathered-row blocks
+            # live at once — exactly the memory chunking exists to bound
+            # (measured: 15.4-16.9 GB HLO temps, OOM, at 300^3 bf16)
+            *gb, _ = jax.lax.optimization_barrier((*g, dep))
+            g = tuple(gb)
+        ev = run_dynamic(params["dynamic"], g[0], g[1], g[2], g[3], g[4], packed_dn)
+        dep = ev.sigma
+        dn_parts.append(ev)
     dn_all = (
         dn_parts[0]
         if len(dn_parts) == 1

@@ -331,7 +331,16 @@ class Trainer:
             return True
         if mode == "off":
             return False
-        # ~7 dual passes (dynamic+static) + ~2 static-only, per step
+        if not bool(getattr(self.args, "fused_passes", 0)):
+            # sequential (default): store-mode residuals stay small — the
+            # strided sampler's custom VJP keeps rows+weights, not gathered
+            # blocks (ops/coalesced.py), and each pass's forward temps are
+            # freed before the next pass. Measured to fit AND run fastest
+            # (446 ms vs 908 ms rematerialized, 300^3 bf16, PERF.md §3);
+            # above ~350^3 the packed tables + optimizer state crowd HBM.
+            return int(self.args.N_voxel_final) > 350 ** 3
+        # batched evals: all chunks' residuals are stored until the backward,
+        # so estimate them (take output + masked copy per chunk)
         per_dyn, per_st = self._gather_row_bytes()
         est = (7 * per_dyn + 9 * per_st) * 0.65
         return est > 9e9

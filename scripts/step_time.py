@@ -5,10 +5,11 @@ On this TPU attachment `block_until_ready` returns before execution, so the
 only trustworthy wall-clock is enqueue-N-steps-then-fetch: step N's params
 depend on step N-1's, so fetching the last loss forces the whole chain.
 
-Usage: python scripts/step_time.py [n_voxel_exp=300] [iters=50] [--bf16] [--seq]
-           [--remat on|off|auto]
+Usage: python scripts/step_time.py [n_voxel_exp=300] [iters=50] [--bf16]
+           [--batched] [--remat on|off|auto]
 
---seq disables the batched multi-pass evaluation (fused_passes=0 A/B).
+--batched enables the chunked batched multi-pass evaluation (fused_passes=1
+A/B; sequential is the measured-fastest default, PERF.md section 3).
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ def main():
     n_voxel_side = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 300
     iters = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 50
     bf16 = "--bf16" in sys.argv
-    fused = 0 if "--seq" in sys.argv else 1
+    fused = 1 if "--batched" in sys.argv else 0
     remat = sys.argv[sys.argv.index("--remat") + 1] if "--remat" in sys.argv else "auto"
     # default 0.0 = production default (dense app); pass --app_frac for A/B
     app_frac = 0.0 if "--dense-app" in sys.argv else (
