@@ -172,6 +172,11 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "active; -1 = at the first voxel upsample (density is "
                         "concentrated by then, so the top-K bucket covers the "
                         "reference's above-threshold samples), 0 = immediately")
+    parser.add_argument("--grad_accum", type=int, default=0,
+                        help="gradient-accumulation micro-batches per step "
+                        "(0 = auto: 1, or 2 on 640^3-class grids where the "
+                        "full batch exceeds HBM; exact full-batch gradient, "
+                        "make_train_step)")
     parser.add_argument("--remat", type=str, default="auto", choices=["auto", "on", "off"],
                         help="rematerialize field evals in backward: 'auto' stores "
                         "activations when the grid schedule fits HBM (faster), "

@@ -102,6 +102,12 @@ class StepStatics:
     # per-instance gather/scatter overhead that dominates the TPU step and
     # runs the MLPs at MXU-friendly batch sizes.
     fused_passes: bool = True
+    # gradient accumulation: split the ray batch into this many equal
+    # micro-batches, scan-accumulate their (averaged) gradients, apply the
+    # optimizer once — the full-batch gradient exactly (see make_train_step).
+    # The scan structurally bounds live eval memory; required to fit the
+    # 640^3 schedule single-chip.
+    grad_accum: int = 1
     # max dual passes per batched DYNAMIC field eval (0 = all in one). The
     # gathered corner rows of one eval ([passes*B*S, 12, C] take output plus
     # its masked copy) are live simultaneously; chunking bounds them while
@@ -383,10 +389,26 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
 
 
 def _run_passes(params, S: StepStatics, aabb, specs, packs):
-    """Dispatch: batched (fused_passes) or sequential per-pass evaluation."""
+    """Dispatch: batched (fused_passes) or sequential per-pass evaluation.
+
+    In remat mode the sequential passes are chained through an
+    optimization_barrier: XLA otherwise overlaps every pass's rematted
+    backward region, keeping all passes' gathered blocks live at once
+    (measured 16.4 GB HLO temps -> OOM at 640^3). In store mode (<=350^3)
+    the overlap is harmless — residuals are small — and free overlap is
+    part of why store mode measures fastest, so no chain there."""
     if S.fused_passes:
         return _batched_passes(params, S, aabb, specs, packs)
-    return {n: _dual_pass(params, S, aabb, sp, packs) for n, sp in specs.items()}
+    res = {}
+    dep = None
+    for n, sp in specs.items():
+        if dep is not None and S.remat:
+            rays_b, ts_b, _ = jax.lax.optimization_barrier((sp.rays, sp.ts, dep))
+            sp = sp._replace(rays=rays_b, ts=ts_b)
+        r = _dual_pass(params, S, aabb, sp, packs)
+        dep = r[1].sigma  # the static eval is present in every pass
+        res[n] = r
+    return res
 
 
 def train_loss(
@@ -807,16 +829,71 @@ def apply_updates(params, grads, opt_state, sc):
 
 def make_train_step(S: StepStatics, donate: bool = True):
     """Build the jitted step: (params, opt_state, aabb, data, ray_idx,
-    ray_idx_rand, key, sc) -> (params, opt_state, metrics)."""
+    ray_idx_rand, key, sc) -> (params, opt_state, metrics).
+
+    S.grad_accum > 1 splits the ray batch into equal micro-batches and
+    accumulates their gradients in a lax.scan before the single optimizer
+    update. Per-ray mean losses and param-level regularizers average
+    exactly to the full-batch gradient; the batch-STATISTIC terms — the
+    monodepth loss's median/MAD normalization (losses.py, reference
+    train.py:1635-1658) and the flow losses' mask-sum ratios — are
+    computed per micro-batch and averaged: the same estimator at micro
+    sample size (measured 2e-4 relative loss shift at 1024->2x512;
+    tests/test_grad_accum.py). The scan body compiles once and its buffers
+    are reused across micro-batches — a structural (scheduler-independent)
+    bound on live eval memory that the 640^3 schedule needs on a 16 GB
+    chip."""
+
+    def grad_of(params, aabb, data, ri, rr, key, sc):
+        return jax.value_and_grad(
+            lambda p: train_loss(p, S, aabb, data, ri, rr, key, sc),
+            has_aux=True,
+        )(params)
+
+    def grads_and_metrics(params, aabb, data, ray_idx, ray_idx_rand, key, sc):
+        A = max(1, int(S.grad_accum))
+        if A == 1:
+            (_, metrics), grads = grad_of(
+                params, aabb, data, ray_idx, ray_idx_rand, key, sc
+            )
+        else:
+            ri = ray_idx.reshape(A, -1)
+            rr = ray_idx_rand.reshape(A, -1)
+            keys = jax.random.split(key, A)
+
+            def body(acc, inp):
+                g_acc, m_acc = acc
+                ri_i, rr_i, k_i = inp
+                (_, m), g = grad_of(params, aabb, data, ri_i, rr_i, k_i, sc)
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b / float(A), g_acc, g
+                )
+                m_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b / float(A), m_acc, m
+                )
+                return (g_acc, m_acc), None
+
+            # zero-init accumulators from abstract shapes so every micro
+            # runs inside the scan: ONE compiled body, buffers reused
+            (_, m_sh), g_sh = jax.eval_shape(
+                grad_of, params, aabb, data, ri[0], rr[0], keys[0], sc
+            )
+            zeros = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree
+            )
+            (grads, metrics), _ = jax.lax.scan(
+                body, (zeros(g_sh), zeros(m_sh)), (ri, rr, keys)
+            )
+        return grads, metrics
 
     def step(params, opt_state, aabb, data, ray_idx, ray_idx_rand, key, sc):
-        grad_fn = jax.value_and_grad(
-            lambda p: train_loss(p, S, aabb, data, ray_idx, ray_idx_rand, key, sc),
-            has_aux=True,
+        grads, metrics = grads_and_metrics(
+            params, aabb, data, ray_idx, ray_idx_rand, key, sc
         )
-        (_, metrics), grads = grad_fn(params)
         new_params, new_state = apply_updates(params, grads, opt_state, sc)
         return new_params, new_state, metrics
 
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    out = jax.jit(step, donate_argnums=donate_argnums)
+    out.grads_and_metrics = grads_and_metrics  # exposed for parity tests
+    return out

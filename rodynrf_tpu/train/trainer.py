@@ -284,7 +284,23 @@ class Trainer:
             remat=self._remat_policy(),
             fused_passes=bool(getattr(a, "fused_passes", 1)),
             pass_chunk=self._pass_chunk(),
+            grad_accum=self._grad_accum(),
         )
+
+    def _grad_accum(self) -> int:
+        """Micro-batch count (make_train_step): explicit --grad_accum, else
+        2 on the 640^3-class phases where even rematerialized sequential
+        evals exceed HBM (measured: 15.9-16.5 GB HLO temps at batch 1024)."""
+        a = int(getattr(self.args, "grad_accum", 0))
+        if a > 0:
+            return a
+        # measured at 640^3 bf16 batch 1024: accum=2 still OOMs by 169 MB
+        # (table-grad scatter buffers are grid-, not batch-, sized); accum=4
+        # runs at 1,867 ms/step
+        need = 4 if int(self.args.N_voxel_final) > 500 ** 3 else 1
+        while int(self.args.batch_size) % (need * max(1, self.mesh.size if self.mesh else 1)):
+            need += 1  # micro size must stay device-divisible
+        return need
 
     def _gather_row_bytes(self) -> tuple:
         """(per-pass dynamic-eval gathered-row bytes, per-pass static) —
@@ -335,10 +351,14 @@ class Trainer:
             # sequential (default): store-mode residuals stay small — the
             # strided sampler's custom VJP keeps rows+weights, not gathered
             # blocks (ops/coalesced.py), and each pass's forward temps are
-            # freed before the next pass. Measured to fit AND run fastest
-            # (446 ms vs 908 ms rematerialized, 300^3 bf16, PERF.md §3);
-            # above ~350^3 the packed tables + optimizer state crowd HBM.
-            return int(self.args.N_voxel_final) > 350 ** 3
+            # freed before the next pass. Measured fastest at <=350^3
+            # (446 vs 908 ms rematerialized, 300^3 bf16, PERF.md §3) AND at
+            # 640^3-class grids once grad accumulation bounds the live
+            # micro-batch (1,334 vs 1,568 ms, PERF.md §9). Rematerialize
+            # only in the 350-500^3 band where accumulation is off and the
+            # tables crowd HBM.
+            n = int(self.args.N_voxel_final)
+            return 350 ** 3 < n and self._grad_accum() < 4
         # batched evals: all chunks' residuals are stored until the backward,
         # so estimate them (take output + masked copy per chunk)
         per_dyn, per_st = self._gather_row_bytes()

@@ -35,6 +35,7 @@ def main():
     bf16 = "--bf16" in sys.argv
     fused = 1 if "--batched" in sys.argv else 0
     remat = sys.argv[sys.argv.index("--remat") + 1] if "--remat" in sys.argv else "auto"
+    accum = int(sys.argv[sys.argv.index("--accum") + 1]) if "--accum" in sys.argv else 0
     # default 0.0 = production default (dense app); pass --app_frac for A/B
     app_frac = 0.0 if "--dense-app" in sys.argv else (
         float(sys.argv[sys.argv.index("--app_frac") + 1]) if "--app_frac" in sys.argv else 0.0
@@ -59,7 +60,7 @@ def main():
         f"--distortion_weight_dynamic 0.01 "
         f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1 "
         f"--bf16 {int(bf16)} --fused_passes {fused} --remat {remat} "
-        f"--app_frac {app_frac} --app_start 0"
+        f"--app_frac {app_frac} --app_start 0 --grad_accum {accum}"
     )
     scene = make_synthetic_scene(T=T, H=H, W=W)
     t0 = time.perf_counter()
