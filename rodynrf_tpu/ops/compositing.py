@@ -34,6 +34,61 @@ def raw2alpha(sigma: jnp.ndarray, dist: jnp.ndarray):
     return alpha, weights, bg_weight
 
 
+def static_side_outputs(
+    rgb_s: jnp.ndarray,
+    sigma_s: jnp.ndarray,
+    dists: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays: jnp.ndarray,
+    *,
+    is_train: bool = False,
+    ray_type: str = "ndc",
+    key: Optional[jax.Array] = None,
+    white: Optional[jnp.ndarray] = None,
+):
+    """The static-side subset of raw2outputs, bit-for-bit.
+
+    The reference re-renders the full dual model in the camera passes
+    (train.py:1755-2311) but its losses there consume only rgb_map_s /
+    depth_map_s / weights_s, which depend solely on the static field — so
+    those passes never need the dynamic evaluation at all. Returns
+    (rgb_map_s, depth_s, acc_s, weights_s) computed with exactly the
+    formulas (incl. eps and white-fill coin) of raw2outputs.
+    """
+    alpha_s = 1.0 - jnp.exp(-sigma_s * dists)
+    T_s = _exclusive_transmittance(alpha_s)
+    weights_s = alpha_s * T_s
+    rgb_map_s = jnp.sum(weights_s[..., None] * rgb_s, -2)
+    acc_s = jnp.sum(weights_s, -1)
+
+    if is_train and white is None and key is not None:
+        white = jax.random.uniform(key, ()) < 0.5
+    if is_train and white is not None:
+        white = jnp.reshape(white, (-1,) if jnp.ndim(white) else ())
+        if jnp.ndim(white):
+            white = white[:, None]
+        rgb_map_s = jnp.where(white, rgb_map_s + (1.0 - acc_s[..., None]), rgb_map_s)
+
+    depth_s = jnp.sum(weights_s * z_vals, -1)
+    if ray_type == "ndc":
+        far = rays[..., 2] + rays[..., -1]
+        depth_s = depth_s + (1.0 - acc_s) * far
+    elif ray_type == "contract":
+        depth_s = depth_s + (1.0 - acc_s) * 256.0
+    rgb_map_s = jnp.clip(rgb_map_s, 0.0, 1.0)
+    return rgb_map_s, depth_s, acc_s, weights_s
+
+
+def dynamic_side_weights(sigma_d: jnp.ndarray, dists: jnp.ndarray) -> jnp.ndarray:
+    """raw2outputs' normalized dynamic weights, bit-for-bit — the only
+    compositor output the flow-warped neighbor passes consume (their losses
+    use weights_d + the sampler's points only; reference train.py:1431-1625)."""
+    alpha_d = 1.0 - jnp.exp(-sigma_d * dists)
+    T_d = _exclusive_transmittance(alpha_d)
+    weights_d = alpha_d * T_d
+    return weights_d / (jnp.sum(weights_d, -1, keepdims=True) + 1e-10)
+
+
 class RenderOutputs(NamedTuple):
     """Outputs of the dual-field compositor (order mirrors renderer.py:301-315)."""
 

@@ -36,7 +36,12 @@ from ..core.se3 import pose_to_mtx
 from ..fields import dynamic as dyn_field
 from ..fields import static as stat_field
 from ..fields.config import FieldConfig
-from ..ops.compositing import raw2outputs
+from ..ops.compositing import (
+    RenderOutputs,
+    dynamic_side_weights,
+    raw2outputs,
+    static_side_outputs,
+)
 from ..ops.distortion import eff_distloss
 from ..ops.regularizers import line_orthogonality
 from ..render.flow import induce_flow
@@ -95,12 +100,13 @@ class StepStatics:
     # white-fill coin always lands tails (golden/run_reference.py applies the
     # matching patch to the reference). Bit-for-bit comparable trajectories.
     golden_det: bool = False
-    # batch the per-pass field evaluations: ONE dynamic eval over all passes'
-    # rays and TWO static evals (split by detach topology) instead of 7+2
-    # separate instances. Identical math, detach structure, and per-pass RNG
-    # (pass keys are split exactly as in the sequential path); cuts the
-    # per-instance gather/scatter overhead that dominates the TPU step and
-    # runs the MLPs at MXU-friendly batch sizes.
+    # batch the per-pass field evaluations: ONE dynamic eval over the rows of
+    # every pass that needs the dynamic field (A-D) and TWO static evals
+    # (split by detach topology) over the passes that need the static field
+    # (A/B + E-G/FF/BB) instead of one pair per pass. Identical math, detach
+    # structure, and per-pass RNG (pass keys are split exactly as in the
+    # sequential path); cuts the per-instance gather/scatter overhead that
+    # dominates the TPU step and runs the MLPs at MXU-friendly batch sizes.
     fused_passes: bool = True
     # gradient accumulation: split the ray batch into this many equal
     # micro-batches, scan-accumulate their (averaged) gradients, apply the
@@ -158,14 +164,42 @@ def _rays_from_uv(uv, pose_per_ray, focal, S: StepStatics):
 
 
 class PassSpec(NamedTuple):
-    """One render pass: ray set + time stamps + RNG + detach topology."""
+    """One render pass: ray set + time stamps + RNG + detach topology.
+
+    mode — which field evaluations the pass's consumed losses actually need
+    (the reference re-renders the full dual model every pass, train.py:1092,
+    1755, but each loss group reads only a subset of the outputs; evaluating
+    only that subset is loss- and gradient-identical):
+      "dual":     both fields + dual compositor            (A, B)
+      "dyn":      dynamic field only; losses consume the normalized
+                  weights_d + sampler points                (C, D)
+      "stat_out": static field + static-side compositor (rgb_s/depth_s/
+                  weights_s incl. white fill)               (E, F, G)
+      "stat":     static field only, no compositor          (FF, BB)
+    """
 
     rays: Any  # [R, 6] (pre-detached where the reference detaches)
     ts: Any  # [R]
     k_samp: Any  # sampler-jitter key (None in golden_det mode)
     k_comp: Any  # compositor white-fill key (None: no fill / static-only)
     detach_static: bool  # reference's .detach() on static rgb/sigma (A-D)
-    dual: bool  # False: static-field-only pass (FF/BB)
+    mode: str  # "dual" | "dyn" | "stat_out" | "stat"
+
+
+def _partial_outputs(R: int, nS: int, **filled) -> RenderOutputs:
+    """A RenderOutputs with only the consumed fields filled; the rest are
+    zeros (dead values XLA eliminates)."""
+    z_r = jnp.zeros((R,), jnp.float32)
+    z_rs = jnp.zeros((R, nS), jnp.float32)
+    z_r3 = jnp.zeros((R, 3), jnp.float32)
+    defaults = dict(
+        rgb_full=z_r3, depth_full=z_r, acc_full=z_r, weights_full=z_rs,
+        rgb_s=z_r3, depth_s=z_r, acc_s=z_r, weights_s=z_rs,
+        rgb_d=z_r3, depth_d=z_r, acc_d=z_r, weights_d=z_rs,
+        dynamicness=z_r,
+    )
+    defaults.update(filled)
+    return RenderOutputs(**defaults)
 
 
 def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None):
@@ -202,6 +236,15 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None):
         run_static = jax.checkpoint(run_static)
         run_dynamic = jax.checkpoint(run_dynamic)
 
+    R, nS = z_vals.shape
+
+    if sp.mode == "dyn":
+        # losses of this pass consume only weights_d + the sampler's points
+        # (reference train.py:1431-1625): the static eval never runs
+        dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn)
+        out = _partial_outputs(R, nS, weights_d=dynamic_side_weights(dn.sigma, dn.dists))
+        return out, None, dn, z_vals
+
     if sp.detach_static:
         st = run_static(sg(params["static"]), sg(rays), sg(xyz),
                         jax.tree_util.tree_map(sg, packed_st))
@@ -209,8 +252,21 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None):
     else:
         st = run_static(params["static"], rays, xyz, packed_st)
 
-    if not sp.dual:
+    if sp.mode == "stat":
         return None, st, None, z_vals
+
+    if sp.mode == "stat_out":
+        # losses consume rgb_s/depth_s/weights_s only (train.py:1755-2311):
+        # the dynamic eval never runs; the static-side compositor keeps the
+        # dual compositor's exact math incl. the white-fill coin
+        rgb_s, depth_s, acc_s, weights_s = static_side_outputs(
+            st.rgb, st.sigma, st.dists, st.z_vals, rays,
+            is_train=True, ray_type=S.ray_type, key=sp.k_comp,
+        )
+        out = _partial_outputs(
+            R, nS, rgb_s=rgb_s, depth_s=depth_s, acc_s=acc_s, weights_s=weights_s
+        )
+        return out, st, None, z_vals
 
     dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn)
 
@@ -232,27 +288,38 @@ def _slice_tree(tree, i0, i1):
 def _batched_passes(params, S: StepStatics, aabb, specs, packs):
     """All render passes through batched field evaluations.
 
-    Instead of one (static, dynamic) evaluation pair per pass (7+2 instances,
-    reference train.py re-renders per loss group), the passes' rows are
-    concatenated and evaluated as:
-      * ONE dynamic eval over every dual pass's rows,
-      * ONE fully-detached static eval over the detach_static passes (A-D),
-      * ONE grad-carrying static eval over the rest (E/F/G + FF/BB),
-      * ONE batched dual compositor (per-pass white-fill coins drawn from the
-        same per-pass keys and broadcast over that pass's rows).
+    Instead of one (static, dynamic) evaluation pair per pass (the reference
+    train.py re-renders the full dual model per loss group), the passes'
+    rows are concatenated and evaluated as:
+      * ONE dynamic eval over the passes whose losses need it (duals A/B +
+        dyn-only C/D),
+      * ONE fully-detached static eval over the detach_static duals (A/B),
+      * ONE grad-carrying static eval over the static-consuming passes
+        (E/F/G + FF/BB),
+      * ONE batched dual compositor over the dual passes (per-pass
+        white-fill coins drawn from the same per-pass keys and broadcast
+        over that pass's rows); dyn/stat_out passes get the dynamic-side /
+        static-side compositor subsets (ops/compositing.py).
     Math, detach topology, and RNG are identical to the sequential path
     (tests/test_fused_passes.py asserts value + gradient parity); what
-    changes is instance count: gathers/scatters/MLPs run once at 7x the
+    changes is instance count: gathers/scatters/MLPs run once at a larger
     batch, which is what the index-rate-bound TPU profile wants (PERF.md).
     """
     packed_st, packed_dn = packs if packs is not None else (None, None)
     names = list(specs)
-    dual_names = [n for n in names if specs[n].dual]
+    # dynamic eval covers dual + dyn-only passes; static evals cover dual +
+    # stat_out + stat passes, split by detach topology (see PassSpec.mode)
+    dyn_names = [n for n in names if specs[n].mode in ("dual", "dyn")]
+    dual_names = [n for n in names if specs[n].mode == "dual"]
     det_names = [n for n in dual_names if specs[n].detach_static]
-    grad_dual = [n for n in dual_names if not specs[n].detach_static]
-    so_names = [n for n in names if not specs[n].dual]  # static-only (FF/BB)
-    grad_names = grad_dual + so_names
-    assert dual_names == det_names + grad_dual, "detached duals must precede grad duals"
+    grad_names = [
+        n for n in names
+        if (specs[n].mode == "dual" and not specs[n].detach_static)
+        or specs[n].mode in ("stat_out", "stat")
+    ]
+    assert dual_names == dyn_names[: len(dual_names)], (
+        "dual passes must precede dyn-only passes (dn_all row alignment)"
+    )
 
     # per-pass sampling (keeps each pass's jitter key)
     samp = {
@@ -299,17 +366,17 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         run_static = jax.checkpoint(run_static)
         run_dynamic = jax.checkpoint(run_dynamic)
 
-    # dynamic: one eval over all dual passes — chunked when S.pass_chunk > 0
-    # so one eval's gathered-row temps fit HBM (each chunk is its own remat
-    # region; takes stay far above the gather-rate plateau)
+    # dynamic: one eval over all dual+dyn passes — chunked when S.pass_chunk
+    # > 0 so one eval's gathered-row temps fit HBM (each chunk is its own
+    # remat region; takes stay far above the gather-rate plateau)
     d_rays = _shard_rows(_cat([specs[n].rays for n in dual_names]))
-    if S.pass_chunk and S.pass_chunk < len(dual_names):
+    if S.pass_chunk and S.pass_chunk < len(dyn_names):
         chunks = [
-            dual_names[i : i + S.pass_chunk]
-            for i in range(0, len(dual_names), S.pass_chunk)
+            dyn_names[i : i + S.pass_chunk]
+            for i in range(0, len(dyn_names), S.pass_chunk)
         ]
     else:
-        chunks = [dual_names]
+        chunks = [dyn_names]
     dn_parts = []
     dep = None
     for grp in chunks:
@@ -355,9 +422,15 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
             st_by_name[n] = _slice_tree(ev, off, off + R[n])
             off += R[n]
 
-    # batched dual compositor: static rows re-assembled in dual order (the
-    # first len(det)+len(grad_dual) rows of the two static groups align with
-    # dn_all's row order)
+    # split the dynamic eval per pass (dual passes are the prefix of dn_all)
+    dn_by_name = {}
+    off = 0
+    for n in dyn_names:
+        dn_by_name[n] = _slice_tree(dn_all, off, off + R[n])
+        off += R[n]
+    dn_dual = _slice_tree(dn_all, 0, sum(R[n] for n in dual_names))
+
+    # batched dual compositor over the dual passes only
     st_rgb = _cat([st_by_name[n].rgb for n in dual_names])
     st_sigma = _cat([st_by_name[n].sigma for n in dual_names])
     white = None
@@ -368,23 +441,49 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         ]
         white = _cat(coins)
     out_all = raw2outputs(
-        st_rgb, st_sigma, dn_all.rgb, dn_all.sigma, dn_all.dists, dn_all.blending,
-        dn_all.z_vals, d_rays, is_train=True, ray_type=S.ray_type, white=white,
+        st_rgb, st_sigma, dn_dual.rgb, dn_dual.sigma, dn_dual.dists, dn_dual.blending,
+        dn_dual.z_vals, d_rays, is_train=True, ray_type=S.ray_type, white=white,
     )
 
-    # split per pass
+    # assemble per-pass results
     res = {}
     off = 0
     for n in dual_names:
         res[n] = (
             _slice_tree(out_all, off, off + R[n]),
             st_by_name[n],
-            _slice_tree(dn_all, off, off + R[n]),
+            dn_by_name[n],
             samp[n][1],
         )
         off += R[n]
-    for n in so_names:
-        res[n] = (None, st_by_name[n], None, samp[n][1])
+    for n in names:
+        sp = specs[n]
+        if sp.mode == "dyn":
+            dn = dn_by_name[n]
+            out = _partial_outputs(
+                R[n], S.n_samples, weights_d=dynamic_side_weights(dn.sigma, dn.dists)
+            )
+            res[n] = (out, None, dn, samp[n][1])
+        elif sp.mode == "stat_out":
+            st = st_by_name[n]
+            white_n = None
+            if not S.golden_det:
+                white_n = jnp.broadcast_to(
+                    jax.random.uniform(sp.k_comp, ()) < 0.5, (R[n],)
+                )
+            rgb_s, depth_s, acc_s, weights_s = static_side_outputs(
+                st.rgb, st.sigma, st.dists, st.z_vals, sp.rays,
+                is_train=True, ray_type=S.ray_type, white=white_n,
+            )
+            res[n] = (
+                _partial_outputs(
+                    R[n], S.n_samples,
+                    rgb_s=rgb_s, depth_s=depth_s, acc_s=acc_s, weights_s=weights_s,
+                ),
+                st, None, samp[n][1],
+            )
+        elif sp.mode == "stat":
+            res[n] = (None, st_by_name[n], None, samp[n][1])
     return res
 
 
@@ -406,7 +505,7 @@ def _run_passes(params, S: StepStatics, aabb, specs, packs):
             rays_b, ts_b, _ = jax.lax.optimization_barrier((sp.rays, sp.ts, dep))
             sp = sp._replace(rays=rays_b, ts=ts_b)
         r = _dual_pass(params, S, aabb, sp, packs)
-        dep = r[1].sigma  # the static eval is present in every pass
+        dep = (r[1] if r[1] is not None else r[2]).sigma
         res[n] = r
     return res
 
@@ -504,18 +603,21 @@ def train_loss(
     uv_b = uv_base + flow_b
     rays_b = _rays_from_uv(uv_b, sg(poses_b), focal_det, S)
 
-    def _spec(rays, ts, k, detach):
+    def _spec(rays, ts, k, detach, mode="dual"):
         ks, kc = (None, None) if S.golden_det else tuple(jax.random.split(k))
-        return PassSpec(rays, ts, ks, kc, detach, True)
+        return PassSpec(rays, ts, ks, kc, detach, mode)
 
     # A: training rays detached (train.py:1092-1162); B: novel time (1166);
-    # C/D: flow-warped neighbors (1431-1625); E: non-detached (1755-1823)
+    # C/D: flow-warped neighbors (1431-1625) — their losses consume only
+    # weights_d + sampler points, so the static field is skipped ("dyn");
+    # E: non-detached (1755-1823) — its losses consume only the static-side
+    # compositor outputs, so the dynamic field is skipped ("stat_out")
     specs = {
         "A": _spec(rays_det, ts_train, keys[0], True),
         "B": _spec(rays_det, ts_rand, keys[1], True),
-        "C": _spec(sg(rays_f), ts_train + t_interval, keys[2], True),
-        "D": _spec(sg(rays_b), ts_train - t_interval, keys[3], True),
-        "E": _spec(rays_train, ts_train, keys[4], False),
+        "C": _spec(sg(rays_f), ts_train + t_interval, keys[2], True, "dyn"),
+        "D": _spec(sg(rays_b), ts_train - t_interval, keys[3], True, "dyn"),
+        "E": _spec(rays_train, ts_train, keys[4], False, "stat_out"),
     }
     if S.optimize_poses:
         # FF/BB: static disparity passes with NON-detached pose/focal
@@ -534,10 +636,10 @@ def train_loss(
                 ro, rd = ndc_rays_blender(H, W, (focal, focal), 1.0, ro, rd)
             return jnp.concatenate([ro, rd], -1)
 
-        specs["F"] = _spec(_neighbor_rays(i_n, j_px), ts_train, keys[6], False)
-        specs["G"] = _spec(_neighbor_rays(i_px, j_n), ts_train, keys[7], False)
-        specs["FF"] = PassSpec(rays_f_nd, ts_train, k5a, None, False, False)
-        specs["BB"] = PassSpec(rays_b_nd, ts_train, k5b, None, False, False)
+        specs["F"] = _spec(_neighbor_rays(i_n, j_px), ts_train, keys[6], False, "stat_out")
+        specs["G"] = _spec(_neighbor_rays(i_px, j_n), ts_train, keys[7], False, "stat_out")
+        specs["FF"] = PassSpec(rays_f_nd, ts_train, k5a, None, False, "stat")
+        specs["BB"] = PassSpec(rays_b_nd, ts_train, k5b, None, False, "stat")
 
     res = _run_passes(params, S, aabb, specs, packs)
     outA, stA, dnA, _ = res["A"]
