@@ -24,6 +24,11 @@ from .sampling import sample_xyz
 
 
 class RenderMaps(NamedTuple):
+    """Per-ray maps returned to the HOST. Per-sample tensors (weights,
+    pts_ref) deliberately stay on device: shipping them cost ~44 MB per
+    8192-ray chunk over the tunneled attachment and no render_image consumer
+    reads them (the vis renderer computes its induced-flow maps in-graph)."""
+
     rgb: jnp.ndarray  # [N, 3]
     depth: jnp.ndarray  # [N]
     rgb_s: jnp.ndarray
@@ -31,9 +36,6 @@ class RenderMaps(NamedTuple):
     rgb_d: jnp.ndarray
     depth_d: jnp.ndarray
     blending: jnp.ndarray  # [N] dynamicness
-    weights_d: jnp.ndarray  # [N, S] (for induced-flow vis)
-    weights_s: jnp.ndarray
-    pts_ref: jnp.ndarray  # [N, S, 3]
     delta_xyz: jnp.ndarray  # [N, 3] mean warp displacement
 
 
@@ -77,7 +79,7 @@ def make_chunk_renderer(
         delta = jnp.mean(jnp.abs(dn.xyz_prime - dn.pts_ref), axis=1)
         return RenderMaps(
             out.rgb_full, out.depth_full, out.rgb_s, out.depth_s, out.rgb_d, out.depth_d,
-            out.dynamicness, out.weights_d, out.weights_s, dn.pts_ref, delta,
+            out.dynamicness, delta,
         )
 
     def render_chunk_wrapped(params, packs, aabb, rays, ts):
@@ -140,7 +142,7 @@ def make_vis_chunk_renderer(
         delta_sum = jnp.sum(out.weights_d[..., None] * (dn.xyz_prime - dn.pts_ref), axis=1)
         base = RenderMaps(
             out.rgb_full, out.depth_full, out.rgb_s, out.depth_s, out.rgb_d, out.depth_d,
-            out.dynamicness, out.weights_d, out.weights_s, dn.pts_ref, delta_sum,
+            out.dynamicness, delta_sum,
         )
 
         sf_f, sf_b = dyn_field.scene_flow(params["dynamic"], dn.pts_ref, ts, aabb)

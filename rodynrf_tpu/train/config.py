@@ -154,6 +154,11 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument("--vm_layout", type=str, default="auto",
                         choices=["auto", "merged", "strided"],
                         help="multiscale gather-table layout (ops/fused_vm.py)")
+    parser.add_argument("--share_forward", type=int, default=1,
+                        help="cross-pass forward sharing: passes A/B/E share "
+                        "one sample set and A/B reuse E's static field eval "
+                        "detached (exact; eliminates 2 static evals/step; "
+                        "train/step.py PassSpec.static_from)")
     parser.add_argument("--fused_passes", type=int, default=0,
                         help="batch all render passes into shared field evals "
                         "(one dynamic + two static instances per step instead "

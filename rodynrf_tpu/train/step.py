@@ -121,6 +121,14 @@ class StepStatics:
     # this from the HBM budget (trainer._pass_chunk); the static evals'
     # rows are ~5x narrower and stay unchunked.
     pass_chunk: int = 0
+    # cross-pass forward sharing: passes A/B/E run over one shared sample set
+    # (one jitter draw instead of three) and A/B reuse E's static evaluation
+    # detached — exact elimination of two static field evals per step (the
+    # static field is time-invariant, so B's random-time static equals A's).
+    # The only semantic delta vs the reference's per-pass re-render
+    # (train.py:1092, 1166, 1755) is sharing the i.i.d. jitter draw; in
+    # golden_det mode the paths are bit-identical.
+    share_forward: bool = True
     # data-parallel mesh: when set, the ray batch's partitioning is asserted
     # with sharding constraints instead of relying on GSPMD inference. The
     # trainer guarantees the batch divides this mesh (non-divisible batches
@@ -176,6 +184,15 @@ class PassSpec(NamedTuple):
       "stat_out": static field + static-side compositor (rgb_s/depth_s/
                   weights_s incl. white fill)               (E, F, G)
       "stat":     static field only, no compositor          (FF, BB)
+
+    samp — optional precomputed (xyz, z_vals, ray_valid) shared with other
+    passes over the same ray set (cross-pass forward sharing, see
+    train_loss); when set, the pass's own jitter key is unused.
+    static_from — reuse the named pass's static FieldEval (detached) instead
+    of evaluating the static field: exact when the passes share `samp` and
+    the static field is time-invariant (TensorVMSplit ignores t, reference
+    tensoRF.py:118-196; every static shading mode ignores its time input,
+    tensorBase.py:81-147).
     """
 
     rays: Any  # [R, 6] (pre-detached where the reference detaches)
@@ -184,6 +201,8 @@ class PassSpec(NamedTuple):
     k_comp: Any  # compositor white-fill key (None: no fill / static-only)
     detach_static: bool  # reference's .detach() on static rgb/sigma (A-D)
     mode: str  # "dual" | "dyn" | "stat_out" | "stat"
+    samp: Any = None  # optional shared (xyz, z_vals, ray_valid)
+    static_from: Any = None  # provider pass name or None
 
 
 def _partial_outputs(R: int, nS: int, **filled) -> RenderOutputs:
@@ -202,7 +221,7 @@ def _partial_outputs(R: int, nS: int, **filled) -> RenderOutputs:
     return RenderOutputs(**defaults)
 
 
-def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None):
+def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st=None):
     """Sampler + static field + dynamic field + dual compositor for one ray set.
 
     detach_static reproduces the reference's `.detach()` on static rgb/sigma
@@ -212,13 +231,20 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None):
     packs: optional (packed_static, packed_dynamic) gather tables built ONCE
     per step (train_loss hoists them so the table construction never re-runs
     per pass or per remat recomputation).
+
+    shared_st: another pass's static FieldEval to reuse (detached) instead of
+    evaluating the static field — valid when this pass shares `samp` with the
+    provider (see PassSpec.static_from).
     """
     packed_st, packed_dn = packs if packs is not None else (None, None)
     rays, ts = sp.rays, sp.ts
-    xyz, z_vals, ray_valid = sample_xyz(
-        rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size,
-        sp.k_samp, det_jitter=S.golden_det,
-    )
+    if sp.samp is not None:
+        xyz, z_vals, ray_valid = sp.samp
+    else:
+        xyz, z_vals, ray_valid = sample_xyz(
+            rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size,
+            sp.k_samp, det_jitter=S.golden_det,
+        )
 
     def run_static(p, rays_, xyz_, packed_):
         return eval_static_field(
@@ -245,7 +271,14 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None):
         out = _partial_outputs(R, nS, weights_d=dynamic_side_weights(dn.sigma, dn.dists))
         return out, None, dn, z_vals
 
-    if sp.detach_static:
+    if shared_st is not None:
+        # cross-pass forward sharing: the provider's static eval ran on the
+        # same sample positions (shared `samp`); detaching its outputs is
+        # value- and gradient-identical to re-evaluating under stop_gradient
+        # (the reference's per-pass re-render, train.py:1092 vs 1755, differs
+        # only in its fresh jitter draw)
+        st = jax.tree_util.tree_map(sg, shared_st)
+    elif sp.detach_static:
         st = run_static(sg(params["static"]), sg(rays), sg(xyz),
                         jax.tree_util.tree_map(sg, packed_st))
         st = jax.tree_util.tree_map(sg, st)
@@ -308,10 +341,15 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
     packed_st, packed_dn = packs if packs is not None else (None, None)
     names = list(specs)
     # dynamic eval covers dual + dyn-only passes; static evals cover dual +
-    # stat_out + stat passes, split by detach topology (see PassSpec.mode)
+    # stat_out + stat passes, split by detach topology (see PassSpec.mode);
+    # passes reusing another pass's static eval (static_from) never evaluate
+    # the static field themselves
     dyn_names = [n for n in names if specs[n].mode in ("dual", "dyn")]
     dual_names = [n for n in names if specs[n].mode == "dual"]
-    det_names = [n for n in dual_names if specs[n].detach_static]
+    det_names = [
+        n for n in dual_names
+        if specs[n].detach_static and specs[n].static_from is None
+    ]
     grad_names = [
         n for n in names
         if (specs[n].mode == "dual" and not specs[n].detach_static)
@@ -321,9 +359,12 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         "dual passes must precede dyn-only passes (dn_all row alignment)"
     )
 
-    # per-pass sampling (keeps each pass's jitter key)
+    # per-pass sampling (keeps each pass's jitter key; shared-geometry passes
+    # carry their precomputed samp)
     samp = {
-        n: sample_xyz(
+        n: specs[n].samp
+        if specs[n].samp is not None
+        else sample_xyz(
             specs[n].rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb,
             S.step_size, specs[n].k_samp, det_jitter=S.golden_det,
         )
@@ -421,6 +462,12 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         for n in group:
             st_by_name[n] = _slice_tree(ev, off, off + R[n])
             off += R[n]
+    # cross-pass forward sharing: consumers take the provider's static eval
+    # detached (exact: shared samp + time-invariant static field)
+    for n in names:
+        sf = specs[n].static_from
+        if sf is not None:
+            st_by_name[n] = jax.tree_util.tree_map(sg, st_by_name[sf])
 
     # split the dynamic eval per pass (dual passes are the prefix of dn_all)
     dn_by_name = {}
@@ -500,11 +547,25 @@ def _run_passes(params, S: StepStatics, aabb, specs, packs):
         return _batched_passes(params, S, aabb, specs, packs)
     res = {}
     dep = None
-    for n, sp in specs.items():
+    # static-eval providers (PassSpec.static_from) must run before their
+    # consumers; keep the original order otherwise
+    providers = {sp.static_from for sp in specs.values() if sp.static_from}
+    names = [n for n in specs if n in providers] + [
+        n for n in specs if n not in providers
+    ]
+    for n in names:
+        sp = specs[n]
         if dep is not None and S.remat:
-            rays_b, ts_b, _ = jax.lax.optimization_barrier((sp.rays, sp.ts, dep))
-            sp = sp._replace(rays=rays_b, ts=ts_b)
-        r = _dual_pass(params, S, aabb, sp, packs)
+            if sp.samp is not None:
+                xyz_b, zv_b, rv_b, rays_b, ts_b, _ = jax.lax.optimization_barrier(
+                    (*sp.samp, sp.rays, sp.ts, dep)
+                )
+                sp = sp._replace(rays=rays_b, ts=ts_b, samp=(xyz_b, zv_b, rv_b))
+            else:
+                rays_b, ts_b, _ = jax.lax.optimization_barrier((sp.rays, sp.ts, dep))
+                sp = sp._replace(rays=rays_b, ts=ts_b)
+        shared = res[sp.static_from][1] if sp.static_from else None
+        r = _dual_pass(params, S, aabb, sp, packs, shared_st=shared)
         dep = (r[1] if r[1] is not None else r[2]).sigma
         res[n] = r
     return res
@@ -619,6 +680,19 @@ def train_loss(
         "D": _spec(sg(rays_b), ts_train - t_interval, keys[3], True, "dyn"),
         "E": _spec(rays_train, ts_train, keys[4], False, "stat_out"),
     }
+    if S.share_forward:
+        # one sample set for the train-ray passes: E samples live (pose/focal
+        # grads flow through xyz), A/B consume it detached; A/B reuse E's
+        # static eval (see PassSpec.static_from). Jitter comes from pass A's
+        # key; each pass keeps its own white-fill coin.
+        samp_live = sample_xyz(
+            rays_train, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb,
+            S.step_size, specs["A"].k_samp, det_jitter=S.golden_det,
+        )
+        samp_det = jax.tree_util.tree_map(sg, samp_live)
+        specs["A"] = specs["A"]._replace(samp=samp_det, static_from="E")
+        specs["B"] = specs["B"]._replace(samp=samp_det, static_from="E")
+        specs["E"] = specs["E"]._replace(samp=samp_live)
     if S.optimize_poses:
         # FF/BB: static disparity passes with NON-detached pose/focal
         # (train.py:1960-2094); F/G: pixel-neighbor duals (2123-2311)

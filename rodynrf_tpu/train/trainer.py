@@ -285,6 +285,7 @@ class Trainer:
             fused_passes=bool(getattr(a, "fused_passes", 1)),
             pass_chunk=self._pass_chunk(),
             grad_accum=self._grad_accum(),
+            share_forward=bool(getattr(a, "share_forward", 1)),
         )
 
     def _grad_accum(self) -> int:

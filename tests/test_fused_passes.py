@@ -119,3 +119,59 @@ def test_chunked_matches_unchunked():
             np.asarray(v) / scale, np.asarray(r) / scale, atol=5e-4,
             err_msg=f"grad {ks}",
         )
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("fused", [False, True])
+def test_share_forward_exact_in_det_mode(fused):
+    """Cross-pass forward sharing (A/B reuse E's static eval) is EXACT when
+    sample positions coincide: in golden_det mode (deterministic jitter) the
+    shared and unshared paths must agree to float tolerance in loss, metrics,
+    and every gradient (the reference's per-pass re-render differs only by
+    its fresh jitter draw, train.py:1092/1166/1755)."""
+    trainer = tiny_trainer("ndc", 1)
+    key = jax.random.PRNGKey(3)
+    ray_idx = jnp.asarray(trainer.sampler.nextids())
+    ray_idx_rand = jnp.asarray(trainer.sampler2.nextids())
+
+    def run(share):
+        S = dataclasses.replace(
+            trainer._statics(), golden_det=True, fused_passes=fused,
+            share_forward=share,
+        )
+        sc = {
+            "iteration": jnp.asarray(5, jnp.int32),
+            "focal_fixed": jnp.asarray(trainer.focal_fixed, jnp.float32),
+        }
+        sc.update(
+            {k: jnp.asarray(v, jnp.float32)
+             for k, v in trainer.schedule.scalars(5).items()}
+        )
+
+        def lf(p):
+            return train_loss(
+                p, S, trainer.aabb, trainer.data, ray_idx, ray_idx_rand, key, sc
+            )
+
+        return jax.jit(jax.value_and_grad(lf, has_aux=True))(trainer.params)
+
+    (loss_on, met_on), g_on = run(True)
+    (loss_off, met_off), g_off = run(False)
+    np.testing.assert_allclose(float(loss_on), float(loss_off), rtol=1e-6)
+    for k in met_off:
+        np.testing.assert_allclose(
+            np.asarray(met_on[k]), np.asarray(met_off[k]), rtol=1e-5, atol=1e-8,
+            err_msg=f"metric {k}",
+        )
+    flat_off = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_off)
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(g_on):
+        ks = jax.tree_util.keystr(path)
+        r = flat_off[ks]
+        scale = max(float(jnp.abs(r).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(v) / scale, np.asarray(r) / scale, atol=1e-5,
+            err_msg=f"grad {ks}",
+        )
