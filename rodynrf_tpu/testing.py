@@ -25,7 +25,8 @@ def tiny_cmd(ray_type: str = "ndc", optimize: int = 1, batch: int | None = None)
         f"--fea2denseAct relu --view_pe 0 --fea_pe 0 "
         f"--TV_weight_density 0.1 --TV_weight_app 0.01 --L1_weight_inital 8e-5 "
         f"--distortion_weight_static 0.02 --distortion_weight_dynamic 0.005 "
-        f"--optimize_poses {optimize} --optimize_focal_length {optimize} --use_disp 1"
+        f"--optimize_poses {optimize} --optimize_focal_length {optimize} --use_disp 1 "
+        f"--bf16 0"  # f32 tables: tests assert float-tolerance parity
     )
 
 

@@ -146,7 +146,12 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument("--n_devices", type=int, default=0,
                         help="data-parallel devices (0 = all available)")
     parser.add_argument("--seed", type=int, default=20211202)
-    parser.add_argument("--bf16", type=int, default=0, help="bfloat16 field params")
+    # production default (VERDICT r3 item 5): bf16 gather tables measured
+    # fastest at every grid scale (PERF.md §3/§5/§9) with quantization-level
+    # output deltas (tests/test_fused_vm.py). Golden/parity harnesses pin
+    # --bf16 0 explicitly (f32 bit-parity vs the torch reference).
+    parser.add_argument("--bf16", type=int, default=1,
+                        help="bfloat16 gather tables (0 = f32 bit-parity mode)")
     parser.add_argument("--shard_grids", type=int, default=0,
                         help="FSDP-lite: shard [C,H,W] plane grids + their Adam "
                         "moments along H over the data mesh (frees ~2/3 of the "

@@ -129,6 +129,10 @@ class StepStatics:
     # (train.py:1092, 1166, 1755) is sharing the i.i.d. jitter draw; in
     # golden_det mode the paths are bit-identical.
     share_forward: bool = True
+    # debug: fill UNCONSUMED RenderOutputs fields of mode-restricted passes
+    # with NaN instead of zeros, so an accidental read poisons the loss
+    # instead of silently training on zeros (see _partial_outputs)
+    debug_nan_fill: bool = False
     # data-parallel mesh: when set, the ray batch's partitioning is asserted
     # with sharding constraints instead of relying on GSPMD inference. The
     # trainer guarantees the batch divides this mesh (non-divisible batches
@@ -205,12 +209,18 @@ class PassSpec(NamedTuple):
     static_from: Any = None  # provider pass name or None
 
 
-def _partial_outputs(R: int, nS: int, **filled) -> RenderOutputs:
+def _partial_outputs(R: int, nS: int, debug_nan: bool = False, **filled) -> RenderOutputs:
     """A RenderOutputs with only the consumed fields filled; the rest are
-    zeros (dead values XLA eliminates)."""
-    z_r = jnp.zeros((R,), jnp.float32)
-    z_rs = jnp.zeros((R, nS), jnp.float32)
-    z_r3 = jnp.zeros((R, 3), jnp.float32)
+    zeros (dead values XLA eliminates).
+
+    debug_nan (StepStatics.debug_nan_fill) fills the unconsumed fields with
+    NaN instead, so a loss that accidentally reads one surfaces immediately
+    as a non-finite total (tests/test_fused_passes.py::test_debug_nan_fill
+    asserts the production loss set stays finite under it)."""
+    fill = jnp.nan if debug_nan else 0.0
+    z_r = jnp.full((R,), fill, jnp.float32)
+    z_rs = jnp.full((R, nS), fill, jnp.float32)
+    z_r3 = jnp.full((R, 3), fill, jnp.float32)
     defaults = dict(
         rgb_full=z_r3, depth_full=z_r, acc_full=z_r, weights_full=z_rs,
         rgb_s=z_r3, depth_s=z_r, acc_s=z_r, weights_s=z_rs,
@@ -268,7 +278,10 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st
         # losses of this pass consume only weights_d + the sampler's points
         # (reference train.py:1431-1625): the static eval never runs
         dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn)
-        out = _partial_outputs(R, nS, weights_d=dynamic_side_weights(dn.sigma, dn.dists))
+        out = _partial_outputs(
+            R, nS, S.debug_nan_fill,
+            weights_d=dynamic_side_weights(dn.sigma, dn.dists),
+        )
         return out, None, dn, z_vals
 
     if shared_st is not None:
@@ -297,7 +310,8 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st
             is_train=True, ray_type=S.ray_type, key=sp.k_comp,
         )
         out = _partial_outputs(
-            R, nS, rgb_s=rgb_s, depth_s=depth_s, acc_s=acc_s, weights_s=weights_s
+            R, nS, S.debug_nan_fill,
+            rgb_s=rgb_s, depth_s=depth_s, acc_s=acc_s, weights_s=weights_s,
         )
         return out, st, None, z_vals
 
@@ -508,7 +522,8 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         if sp.mode == "dyn":
             dn = dn_by_name[n]
             out = _partial_outputs(
-                R[n], S.n_samples, weights_d=dynamic_side_weights(dn.sigma, dn.dists)
+                R[n], S.n_samples, S.debug_nan_fill,
+                weights_d=dynamic_side_weights(dn.sigma, dn.dists),
             )
             res[n] = (out, None, dn, samp[n][1])
         elif sp.mode == "stat_out":
@@ -524,7 +539,7 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
             )
             res[n] = (
                 _partial_outputs(
-                    R[n], S.n_samples,
+                    R[n], S.n_samples, S.debug_nan_fill,
                     rgb_s=rgb_s, depth_s=depth_s, acc_s=acc_s, weights_s=weights_s,
                 ),
                 st, None, samp[n][1],

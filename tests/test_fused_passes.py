@@ -175,3 +175,44 @@ def test_share_forward_exact_in_det_mode(fused):
             np.asarray(v) / scale, np.asarray(r) / scale, atol=1e-5,
             err_msg=f"grad {ks}",
         )
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("fused", [False, True])
+def test_debug_nan_fill(fused):
+    """Mode-restricted passes fill unconsumed RenderOutputs fields with
+    placeholders (zeros in production). Under debug_nan_fill=True those
+    placeholders become NaN; a finite loss + finite gradients prove the
+    production loss set never reads an unconsumed field (if a loss or a
+    mode misassignment ever consumes one, this test goes non-finite)."""
+    trainer = tiny_trainer("ndc", 1)
+    key = jax.random.PRNGKey(21)
+    ray_idx = jnp.asarray(trainer.sampler.nextids())
+    ray_idx_rand = jnp.asarray(trainer.sampler2.nextids())
+    S = dataclasses.replace(
+        trainer._statics(), fused_passes=fused, debug_nan_fill=True
+    )
+    sc = {
+        "iteration": jnp.asarray(5, jnp.int32),
+        "focal_fixed": jnp.asarray(trainer.focal_fixed, jnp.float32),
+    }
+    sc.update(
+        {k: jnp.asarray(v, jnp.float32)
+         for k, v in trainer.schedule.scalars(5).items()}
+    )
+
+    def lf(p):
+        return train_loss(
+            p, S, trainer.aabb, trainer.data, ray_idx, ray_idx_rand, key, sc
+        )
+
+    (loss, metrics), grads = jax.jit(jax.value_and_grad(lf, has_aux=True))(
+        trainer.params
+    )
+    assert np.isfinite(float(loss)), "a loss consumed an unfilled output field"
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(np.asarray(v))), f"non-finite metric {k}"
+    for path, v in jax.tree_util.tree_leaves_with_path(grads):
+        assert np.all(np.isfinite(np.asarray(v))), (
+            f"non-finite grad {jax.tree_util.keystr(path)}"
+        )

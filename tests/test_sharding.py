@@ -188,3 +188,48 @@ def test_grid_sharded_matches_replicated_loss():
     )
     for leaf in jax.tree_util.tree_leaves(new_params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("shard_grids", [False, True])
+def test_grad_accum_under_mesh(shard_grids):
+    """lax.scan micro-batching × the 8-device data mesh (VERDICT r3 item 8):
+    scan-over-sharded-batch is where GSPMD surprises live. grad_accum=2 under
+    the mesh must track grad_accum=1 under the mesh to the same tolerance the
+    single-device accumulation test uses (batch-statistic terms shift at
+    micro sample size), with finite sharded updates — including FSDP-lite
+    (shard_grids=True)."""
+    import dataclasses
+
+    from rodynrf_tpu.train.step import make_train_step
+
+    tr = tiny_trainer("ndc", 1)
+    ray_idx = jnp.asarray(tr.sampler.nextids())
+    ray_idx_rand = jnp.asarray(tr.sampler2.nextids())
+    key = jax.random.PRNGKey(29)
+    sc = {
+        "iteration": jnp.asarray(0, jnp.int32),
+        "focal_fixed": jnp.asarray(tr.focal_fixed, jnp.float32),
+        "lr_spatial": jnp.asarray(0.02, jnp.float32),
+        "lr_network": jnp.asarray(1e-3, jnp.float32),
+        "lr_pose": jnp.asarray(3e-3, jnp.float32),
+        "lr_focal": jnp.asarray(0.0, jnp.float32),
+    }
+    statics = dataclasses.replace(tr._statics(), golden_det=True)
+    mesh = statics.mesh if statics.mesh is not None else make_mesh(8)
+    params, opt_state, aabb, data = shard_train_inputs(
+        mesh, tr.params, tr.opt_state, tr.aabb, tr.data, shard_grids=shard_grids
+    )
+    idx = shard_batch_indices(mesh, ray_idx)
+    idx_r = shard_batch_indices(mesh, ray_idx_rand)
+
+    step1 = make_train_step(dataclasses.replace(statics, grad_accum=1), donate=False)
+    step2 = make_train_step(dataclasses.replace(statics, grad_accum=2), donate=False)
+    with mesh:
+        _, _, m1 = step1(params, opt_state, aabb, data, idx, idx_r, key, sc)
+        new_params, _, m2 = step2(params, opt_state, aabb, data, idx, idx_r, key, sc)
+    np.testing.assert_allclose(
+        float(m2["total_loss"]), float(m1["total_loss"]), rtol=5e-3
+    )
+    for leaf in jax.tree_util.tree_leaves(new_params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
