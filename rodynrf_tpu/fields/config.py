@@ -40,6 +40,11 @@ class FieldConfig:
     # orientation (3x fewer indices both directions, ~2.3x more table HBM),
     # 'strided' one per stride; 'auto' picks by memory (ops/fused_vm.pack_vm)
     vm_layout: str = "auto"
+    # plane-table gradient implementation: 'autodiff' (plain XLA scatter via
+    # the take's transpose), 'xla' (custom-VJP scatter, same math), 'csum'
+    # (gather-only sorted prefix-sum-diff, ops/coalesced.csum_grad) — see
+    # PERF.md §11 for the measured comparison
+    grad_impl: str = "autodiff"
     # fixed-bucket appearance compaction: evaluate the appearance gather +
     # shading MLP only on the top-K samples per ray by per-field weight
     # (K = ceil(app_frac * n_samples), rounded up to a multiple of 8), with

@@ -164,12 +164,14 @@ def pack_tables(params, cfg: FieldConfig):
                 ],
                 strides=MULTISCALE_STRIDES,
                 gather_dtype=cfg.gather_dtype,
+                grad_impl=cfg.grad_impl,
                 layout=cfg.vm_layout,
             ),
             "app": pack_vm(
                 [(params["app_plane"], params["app_line"])],
                 strides=MULTISCALE_STRIDES,
                 gather_dtype=cfg.gather_dtype,
+                grad_impl=cfg.grad_impl,
                 layout=cfg.vm_layout,
             ),
         }
@@ -181,6 +183,7 @@ def pack_tables(params, cfg: FieldConfig):
         ],
         strides=MULTISCALE_STRIDES,
         gather_dtype=cfg.gather_dtype,
+        grad_impl=cfg.grad_impl,
         layout=cfg.vm_layout,
     )
 

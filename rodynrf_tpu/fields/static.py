@@ -94,11 +94,13 @@ def pack_tables(params, cfg: FieldConfig):
                 [(params["density_plane"], params["density_line"])],
                 strides=(1,),
                 gather_dtype=cfg.gather_dtype,
+                grad_impl=cfg.grad_impl,
             ),
             "app": pack_vm(
                 [(params["app_plane"], params["app_line"])],
                 strides=(1,),
                 gather_dtype=cfg.gather_dtype,
+                grad_impl=cfg.grad_impl,
             ),
         }
     return pack_vm(
@@ -108,6 +110,7 @@ def pack_tables(params, cfg: FieldConfig):
         ],
         strides=(1,),
         gather_dtype=cfg.gather_dtype,
+        grad_impl=cfg.grad_impl,
     )
 
 

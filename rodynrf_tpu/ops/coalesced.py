@@ -97,6 +97,72 @@ def _planes_sample_bwd(impl, res, ct):
 planes_sample.defvjp(_planes_sample_fwd, _planes_sample_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def merged_sample(table: jnp.ndarray, rows: jnp.ndarray, w: jnp.ndarray,
+                  impl: str = "auto") -> jnp.ndarray:
+    """Merged-layout corner sampling with a selectable table-grad backward.
+
+    table: [R, nS*4*C] merged-stride corner rows (ops/fused_vm merged layout:
+           channel blocks [stride: corner: C])
+    rows:  [M] int32 merged-cell row ids (in range by construction)
+    w:     [M, nS, 4] f32 per-stride bilinear corner weights (x valid mask)
+    impl:  table-grad implementation: 'xla' scatter | 'csum' gather-only
+           prefix-sum-diff (csum_grad) | 'auto' (resolves per measurement).
+
+    Returns [M, nS, C] per-stride plane features, f32. Forward FMA order is
+    identical to the inline merged epilogue (ops/fused_vm.py) — bit-exact
+    with the autodiff path; only the backward implementation differs.
+    """
+    return _merged_fwd_math(table, rows, w)
+
+
+def _merged_fwd_math(table, rows, w):
+    M = rows.shape[0]
+    nS = w.shape[1]
+    C = table.shape[1] // (nS * 4)
+    vals = table.at[rows].get(mode="promise_in_bounds").reshape(M, nS, 4, C)
+    return (
+        vals[:, :, 0].astype(jnp.float32) * w[:, :, 0, None]
+        + vals[:, :, 1].astype(jnp.float32) * w[:, :, 1, None]
+        + vals[:, :, 2].astype(jnp.float32) * w[:, :, 2, None]
+        + vals[:, :, 3].astype(jnp.float32) * w[:, :, 3, None]
+    )
+
+
+def _merged_sample_fwd(table, rows, w, impl):
+    return _merged_fwd_math(table, rows, w), (table, rows, w)
+
+
+def _merged_sample_bwd(impl, res, ct):
+    table, rows, w = res
+    M = rows.shape[0]
+    nS = w.shape[1]
+    C = table.shape[1] // (nS * 4)
+    # w cotangent: <vals[m, s, k, :], ct[m, s, :]> — re-take instead of
+    # storing the [M, nS, 4, C] activation block (index ops beat HBM here)
+    vals = table.at[rows].get(mode="promise_in_bounds").astype(jnp.float32)
+    vals = vals.reshape(M, nS, 4, C)
+    ct_w = jnp.einsum("msc,mskc->msk", ct, vals)
+
+    if impl == "auto":
+        impl = "csum"
+    # table cotangent rows: u[m, (s,k,c)] = w[m,s,k] * ct[m,s,c]
+    if impl == "csum":
+        u = (w[:, :, :, None] * ct[:, :, None, :]).reshape(M, nS * 4 * C)
+        ct_table = csum_grad(rows, u, table.shape[0])
+    else:
+        # match plain autodiff of a bf16 take: accumulate in the table dtype
+        u = (w[:, :, :, None].astype(table.dtype)
+             * ct[:, :, None, :].astype(table.dtype)).reshape(M, nS * 4 * C)
+        ct_table = jnp.zeros((table.shape[0], nS * 4 * C), table.dtype).at[rows].add(
+            u, mode="promise_in_bounds"
+        )
+    return ct_table.astype(table.dtype), None, ct_w
+
+
+merged_sample.defvjp(_merged_sample_fwd, _merged_sample_bwd)
+
+
 # ---------------------------------------------------------------------------
 # table-gradient implementations
 # ---------------------------------------------------------------------------
@@ -118,12 +184,47 @@ def coalesce_table_grad(rows, w4, ct, R: int, impl: str = "auto") -> jnp.ndarray
     80 Midx/s random permutation-gather eats the matmul win. The production
     answer to scatter cost is the merged-stride table layout (3x fewer
     indices, ops/fused_vm.py); the kernel stays available via impl='pallas'.
+    impl='csum' uses the gather-only sorted prefix-sum-diff (see csum_grad).
     """
     if impl == "auto":
         impl = "xla"
     if impl == "pallas":
         return _coalesce_pallas(rows, w4, ct, R)
+    if impl == "csum":
+        M, C = ct.shape
+        K = w4.shape[1]
+        upd = (w4[:, :, None].astype(ct.dtype) * ct[:, None, :]).reshape(M, K * C)
+        return csum_grad(rows, upd, R)
     return _coalesce_xla(rows, w4, ct, R)
+
+
+def csum_grad(rows: jnp.ndarray, u: jnp.ndarray, R: int) -> jnp.ndarray:
+    """Gather-only segment accumulation:  grad[r, :] = Σ_{m: rows[m]=r} u[m, :].
+
+    Replaces the XLA scatter-add (~50 Midx/s serialized on TPU, PERF.md §1)
+    with index work the TPU gather emitter runs at ~240 Midx/s:
+
+      sort_key_val → permute u rows (one take) → f32 cumsum along the sorted
+      axis → per-table-row boundaries via searchsorted → grad = adjacent
+      prefix-sum differences (one take + subtract).
+
+    Exact in exact arithmetic; in f32 the boundary subtraction cancels nearby
+    prefix sums, so entries are accurate to ~ulp(running prefix max) — for
+    gradient-scale values ≤1e-4 relative (asserted by tests/test_coalesced.py;
+    the production scatter baseline accumulates in bf16, which is coarser).
+    Reference semantics anchor: the grid_sample backward of
+    models/tensoRF.py:118-196 (torch scatter into plane grids).
+    """
+    M = rows.shape[0]
+    rows_s, perm = jax.lax.sort_key_val(
+        rows.astype(jnp.int32), jnp.arange(M, dtype=jnp.int32)
+    )
+    u_s = u.at[perm].get(mode="promise_in_bounds").astype(jnp.float32)
+    csum = jnp.cumsum(u_s, axis=0)
+    starts = jnp.searchsorted(rows_s, jnp.arange(R + 1, dtype=jnp.int32))
+    csum_z = jnp.concatenate([jnp.zeros((1, u.shape[1]), jnp.float32), csum], 0)
+    ends_v = csum_z.at[starts].get(mode="promise_in_bounds")
+    return ends_v[1:] - ends_v[:-1]
 
 
 def _coalesce_xla(rows, w4, ct, R: int) -> jnp.ndarray:

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coalesced import planes_sample
+from .coalesced import merged_sample, planes_sample
 from .grid_sample import MAT_MODE, VEC_MODE, _strided_len
 
 # "auto" layout picks the merged-stride pack when the merged tables fit this
@@ -274,6 +274,7 @@ def pack_vm(
     strides: Sequence[int] = (1,),
     gather_dtype=None,
     layout: str = "auto",
+    grad_impl: str = "autodiff",
 ) -> PackedVM:
     """Build the fused tables for one or more VM grids sampled at shared xyz.
 
@@ -300,7 +301,7 @@ def pack_vm(
             else "strided"
         )
     if layout == "merged":
-        return _pack_vm_merged(grids, strides, gather_dtype)
+        return _pack_vm_merged(grids, strides, gather_dtype, grad_impl)
     tables, line_tables = [], []
     dims, line_dims, row_offsets, c_splits = [], [], [], []
     for o in range(3):
@@ -332,6 +333,7 @@ def pack_vm(
         row_offsets.append(tuple(offs))
     meta = {
         "layout": "strided",
+        "grad_impl": grad_impl,
         "strides": strides,
         "dims": tuple(dims),
         "line_dims": tuple(line_dims),
@@ -342,7 +344,9 @@ def pack_vm(
     return PackedVM(tables, line_tables, meta)
 
 
-def _pack_vm_merged(grids: Sequence[Grid], strides, gather_dtype) -> PackedVM:
+def _pack_vm_merged(
+    grids: Sequence[Grid], strides, gather_dtype, grad_impl: str = "autodiff"
+) -> PackedVM:
     """Merged-stride layout: one row per joint multiscale cell.
 
     Row channels: [stride₁: c00|c01|c10|c11 | stride₂: ... | stride₄: ...],
@@ -380,6 +384,7 @@ def _pack_vm_merged(grids: Sequence[Grid], strides, gather_dtype) -> PackedVM:
         seg_dims.append((Ly, Lx))
     meta = {
         "layout": "merged",
+        "grad_impl": grad_impl,
         "strides": tuple(strides),
         "dims": tuple(dims),
         "line_dims": tuple(line_dims),
@@ -478,14 +483,16 @@ def sample_vm_fused(packed: PackedVM, xyz: jnp.ndarray) -> List[jnp.ndarray]:
         # identical either way. Sampling + corner weighting go through the
         # coalesced-gradient custom VJP (ops/coalesced.py): identical forward
         # math, sort+matmul backward instead of XLA scatter.
+        impl = meta.get("grad_impl", "autodiff")
+        impl = "auto" if impl == "autodiff" else impl
         if nS * N <= 1_500_000:
             rows_cat = jnp.concatenate(idx_list)
             w4_cat = jnp.concatenate([w.T for w in w_list])  # [nS*N, 4]
-            feats = planes_sample(packed.tables[o], rows_cat, w4_cat)
+            feats = planes_sample(packed.tables[o], rows_cat, w4_cat, impl)
             stride_feats = [feats[si * N : (si + 1) * N] for si in range(nS)]
         else:
             stride_feats = [
-                planes_sample(packed.tables[o], idx_list[si], w_list[si].T)
+                planes_sample(packed.tables[o], idx_list[si], w_list[si].T, impl)
                 for si in range(nS)
             ]
         for si in range(nS):
@@ -540,27 +547,40 @@ def _sample_vm_fused_merged(packed: PackedVM, xyz: jnp.ndarray) -> List[jnp.ndar
                 ]
             )
         rows = seg_y * Lx + seg_x
-        # keep the gathered block in table dtype; the f32 upcast happens
-        # per-slice inside the weighting FMA (XLA fuses it — no [N, nS*4*Cp]
-        # f32 materialization, which costs ~8 ms/eval at the 300³ shapes)
-        # promise_in_bounds: rows are in range by construction (_axis_lerp
-        # clips + halo rows); jnp.take's default mode='fill' adds a select_n
-        # MASKED COPY of the whole gathered block — measured as the largest
-        # HLO temp of the train step (2.77 GB at 300^3 f32) and a full extra
-        # pass over the block
-        vals = packed.tables[o].at[rows].get(mode="promise_in_bounds").reshape(N, nS, 4, Cp)
+        grad_impl = meta.get("grad_impl", "autodiff")
+        if grad_impl != "autodiff":
+            # custom-VJP route: identical forward FMA order (bit-exact,
+            # tests/test_coalesced.py), backward table-grad picked by
+            # grad_impl ('csum' gather-only vs 'xla' scatter)
+            w12 = jnp.stack(
+                [jnp.stack(w_strides[si], axis=-1) for si in range(nS)], axis=1
+            )  # [N, nS, 4]
+            feats_all = merged_sample(packed.tables[o], rows, w12, grad_impl)
+            stride_feats = [feats_all[:, si] for si in range(nS)]
+        else:
+            # keep the gathered block in table dtype; the f32 upcast happens
+            # per-slice inside the weighting FMA (XLA fuses it — no
+            # [N, nS*4*Cp] f32 materialization, which costs ~8 ms/eval at the
+            # 300³ shapes). promise_in_bounds: rows are in range by
+            # construction (_axis_lerp clips + halo rows); jnp.take's default
+            # mode='fill' adds a select_n MASKED COPY of the whole gathered
+            # block — measured as the largest HLO temp of the train step
+            # (2.77 GB at 300^3 f32) and a full extra pass over the block
+            vals = packed.tables[o].at[rows].get(mode="promise_in_bounds").reshape(N, nS, 4, Cp)
+            stride_feats = [
+                (
+                    vals[:, si, 0].astype(jnp.float32) * w_strides[si][0][:, None]
+                    + vals[:, si, 1].astype(jnp.float32) * w_strides[si][1][:, None]
+                    + vals[:, si, 2].astype(jnp.float32) * w_strides[si][2][:, None]
+                    + vals[:, si, 3].astype(jnp.float32) * w_strides[si][3][:, None]
+                )
+                for si in range(nS)
+            ]
         for si in range(nS):
-            w4 = w_strides[si]
-            plane_feats = (
-                vals[:, si, 0].astype(jnp.float32) * w4[0][:, None]
-                + vals[:, si, 1].astype(jnp.float32) * w4[1][:, None]
-                + vals[:, si, 2].astype(jnp.float32) * w4[2][:, None]
-                + vals[:, si, 3].astype(jnp.float32) * w4[3][:, None]
-            )
             line = _line_feats(
                 packed.line_tables[o][si], z_u, meta["line_dims"][o][si]
             )
-            prod = plane_feats * line
+            prod = stride_feats[si] * line
             c0 = 0
             for gi, cg in enumerate(meta["c_splits"][o]):
                 per_grid[gi][si * 3 + o] = prod[:, c0 : c0 + cg]

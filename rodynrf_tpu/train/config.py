@@ -159,6 +159,12 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser.add_argument("--vm_layout", type=str, default="auto",
                         choices=["auto", "merged", "strided"],
                         help="multiscale gather-table layout (ops/fused_vm.py)")
+    parser.add_argument("--grad_impl", type=str, default="autodiff",
+                        choices=["autodiff", "xla", "csum"],
+                        help="plane-table gradient implementation: 'autodiff' "
+                        "plain XLA scatter, 'xla' custom-VJP scatter, 'csum' "
+                        "gather-only sorted prefix-sum-diff "
+                        "(ops/coalesced.csum_grad; PERF.md §11)")
     parser.add_argument("--share_forward", type=int, default=1,
                         help="cross-pass forward sharing: passes A/B/E share "
                         "one sample set and A/B reuse E's static field eval "

@@ -66,6 +66,7 @@ class Trainer:
             featureC=args.featureC,
             grid_sample_dtype="bfloat16" if getattr(args, "bf16", 0) else "float32",
             vm_layout=getattr(args, "vm_layout", "auto"),
+            grad_impl=getattr(args, "grad_impl", "autodiff"),
         )
         # static model uses fea_pe=2, dynamic fea_pe=0 (train.py:889, 918)
         self.static_cfg = FieldConfig(

@@ -46,13 +46,16 @@ T, H, W = 12, 270, 480
 CHUNK = int(os.environ.get("PROBE_CHUNK", "8192"))
 
 
-def chain_time(step, n=10):
-    c = step(jnp.float32(0.0))
+def chain_time(step, args=(), n=10):
+    # big arrays ride as jit ARGUMENTS: closed-over device arrays get baked
+    # into the HLO constant pool, which blows the axon remote-compile size
+    # limit (HTTP 413) at packed-table shapes
+    c = step(jnp.float32(0.0), *args)
     float(c)
     t0 = time.perf_counter()
     c = jnp.float32(0.0)
     for _ in range(n):
-        c = step(c)
+        c = step(c, *args)
     float(c)
     return (time.perf_counter() - t0) / n * 1e3
 
@@ -96,32 +99,34 @@ def main():
     out = {"chunk": CHUNK, "n_samples": nS, "device": str(jax.devices()[0])}
 
     @jax.jit
-    def f_sample(c):
+    def f_sample(c, rays):
         xyz, zv, rv = sample_xyz(rays + c * 1e-30, nS, "ndc", s_cfg.near_far,
                                  aabb, step_size, None)
         return c + jnp.sum(xyz[::512, 0, 0]) + jnp.sum(zv[::512, 0])
 
-    out["sample_ms"] = round(chain_time(f_sample), 2)
+    out["sample_ms"] = round(chain_time(f_sample, (rays,)), 2)
     print("sample", out["sample_ms"], flush=True)
 
     xyz0, zv0, rv0 = sample_xyz(rays, nS, "ndc", s_cfg.near_far, aabb, step_size, None)
 
     @jax.jit
-    def f_static(c):
+    def f_static(c, params, packs, rays, ts, xyz0, zv0, rv0):
         st = eval_static_field(params["static"], s_cfg, aabb, rays, ts,
                                xyz0 + c * 1e-30, zv0, rv0, "ndc", packed=packs[0])
         return c + jnp.sum(st.rgb[::512, 0]) + jnp.sum(st.sigma[::512, 0])
 
-    out["static_ms"] = round(chain_time(f_static), 2)
+    out["static_ms"] = round(
+        chain_time(f_static, (params, packs, rays, ts, xyz0, zv0, rv0)), 2)
     print("static", out["static_ms"], flush=True)
 
     @jax.jit
-    def f_dynamic(c):
+    def f_dynamic(c, params, packs, rays, ts, xyz0, zv0, rv0):
         dn = eval_dynamic_field(params["dynamic"], d_cfg, aabb, rays, ts,
                                 xyz0 + c * 1e-30, zv0, rv0, "ndc", packed=packs[1])
         return c + jnp.sum(dn.rgb[::512, 0]) + jnp.sum(dn.sigma[::512, 0])
 
-    out["dynamic_ms"] = round(chain_time(f_dynamic), 2)
+    out["dynamic_ms"] = round(
+        chain_time(f_dynamic, (params, packs, rays, ts, xyz0, zv0, rv0)), 2)
     print("dynamic", out["dynamic_ms"], flush=True)
 
     key = jax.random.PRNGKey(0)
@@ -133,19 +138,20 @@ def main():
     dists = jnp.abs(rr(ks[5], (CHUNK, nS))) * 0.01
 
     @jax.jit
-    def f_comp(c):
+    def f_comp(c, rgb_s, sig_s, rgb_d, sig_d, dists, blend, zv0, rays):
         o = raw2outputs(rgb_s, sig_s + c * 1e-30, rgb_d, sig_d, dists, blend,
                         zv0, rays, is_train=False, ray_type="ndc")
         return c + jnp.sum(o.rgb_full[::512, 0])
 
-    out["composit_ms"] = round(chain_time(f_comp), 2)
+    out["composit_ms"] = round(
+        chain_time(f_comp, (rgb_s, sig_s, rgb_d, sig_d, dists, blend, zv0, rays)), 2)
     print("composit", out["composit_ms"], flush=True)
 
-    def f_chunk(c):
+    def f_chunk(c, params, packs, rays, ts):
         o = render_chunk(params, packs, aabb, rays, ts + c * 1e-30)
         return c + o.rgb[0, 0]
 
-    out["full_chunk_ms"] = round(chain_time(f_chunk), 2)
+    out["full_chunk_ms"] = round(chain_time(f_chunk, (params, packs, rays, ts)), 2)
     out["rays_per_sec"] = round(CHUNK / out["full_chunk_ms"] * 1e3, 1)
     print("full_chunk", out["full_chunk_ms"], out["rays_per_sec"], flush=True)
 

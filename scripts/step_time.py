@@ -40,6 +40,10 @@ def main():
     app_frac = 0.0 if "--dense-app" in sys.argv else (
         float(sys.argv[sys.argv.index("--app_frac") + 1]) if "--app_frac" in sys.argv else 0.0
     )
+    grad_impl = (
+        sys.argv[sys.argv.index("--grad_impl") + 1]
+        if "--grad_impl" in sys.argv else "autodiff"
+    )
 
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
@@ -60,7 +64,8 @@ def main():
         f"--distortion_weight_dynamic 0.01 "
         f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1 "
         f"--bf16 {int(bf16)} --fused_passes {fused} --remat {remat} "
-        f"--app_frac {app_frac} --app_start 0 --grad_accum {accum}"
+        f"--app_frac {app_frac} --app_start 0 --grad_accum {accum} "
+        f"--grad_impl {grad_impl}"
     )
     scene = make_synthetic_scene(T=T, H=H, W=W)
     t0 = time.perf_counter()

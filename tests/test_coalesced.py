@@ -125,3 +125,105 @@ def test_pallas_interpret_sorted_and_empty_blocks():
     with mock.patch.object(pl, "pallas_call", interp_call):
         got = co._coalesce_pallas(rows, w4, ct, R)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# csum (gather-only sorted prefix-sum-diff) table gradient
+# ---------------------------------------------------------------------------
+
+
+def test_csum_grad_matches_scatter():
+    from rodynrf_tpu.ops.coalesced import csum_grad
+
+    M, R, C = 4000, 311, 24
+    rows = RNG.integers(0, R, M)
+    rows[: M // 4] = RNG.integers(0, 5, M // 4)  # hot rows
+    rows = jnp.asarray(rows, jnp.int32)
+    u = jnp.asarray(RNG.standard_normal((M, C)), jnp.float32)
+    want = jnp.zeros((R, C), jnp.float32).at[rows].add(u)
+    got = csum_grad(rows, u, R)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=1e-4 * max(scale, 1.0)
+    )
+
+
+def test_csum_grad_empty_rows_and_extremes():
+    """Rows 0 and R-1 never hit + large empty gaps: boundary indexing must
+    produce exact zeros for untouched rows."""
+    from rodynrf_tpu.ops.coalesced import csum_grad
+
+    R, C = 1000, 6
+    rows = jnp.asarray(np.concatenate([
+        np.full(50, 1), np.full(70, 500), np.full(30, R - 2)
+    ]), jnp.int32)
+    u = jnp.asarray(RNG.standard_normal((150, C)), jnp.float32)
+    got = np.asarray(csum_grad(rows, u, R))
+    want = np.zeros((R, C), np.float32)
+    for m, r in enumerate(np.asarray(rows)):
+        want[r] += np.asarray(u[m])
+    touched = np.zeros(R, bool)
+    touched[[1, 500, R - 2]] = True
+    assert np.all(got[~touched] == 0.0)
+    np.testing.assert_allclose(got[touched], want[touched], rtol=0, atol=1e-4)
+
+
+def test_csum_grad_bf16_updates():
+    from rodynrf_tpu.ops.coalesced import csum_grad
+
+    M, R, C = 2000, 128, 8
+    rows = jnp.asarray(RNG.integers(0, R, M), jnp.int32)
+    u = jnp.asarray(RNG.standard_normal((M, C)), jnp.float32).astype(jnp.bfloat16)
+    want = jnp.zeros((R, C), jnp.float32).at[rows].add(u.astype(jnp.float32))
+    got = csum_grad(rows, u, R)  # accumulates in f32 internally
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-3)
+
+
+def test_merged_sample_forward_bitexact_and_grads():
+    """merged_sample (custom VJP) forward must be bit-identical to the inline
+    FMA math; table/w gradients must match autodiff for both impls."""
+    from rodynrf_tpu.ops.coalesced import merged_sample, _merged_fwd_math
+
+    M, R, nS, C = 600, 97, 3, 5
+    rows = jnp.asarray(RNG.integers(0, R, M), jnp.int32)
+    table = jnp.asarray(RNG.standard_normal((R, nS * 4 * C)), jnp.float32)
+    w = jnp.asarray(RNG.uniform(0, 1, (M, nS, 4)), jnp.float32)
+    ct = jnp.asarray(RNG.standard_normal((M, nS, C)), jnp.float32)
+
+    got = merged_sample(table, rows, w, "csum")
+    want = _merged_fwd_math(table, rows, w)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def loss_ref(t, w_):
+        return jnp.sum(_merged_fwd_math(t, rows, w_) * ct)
+
+    gt_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(table, w)
+    for impl in ("csum", "xla"):
+        def loss(t, w_):
+            return jnp.sum(merged_sample(t, rows, w_, impl) * ct)
+
+        gt, gw = jax.grad(loss, argnums=(0, 1))(table, w)
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(gt_ref), rtol=0, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(gw_ref), rtol=0, atol=1e-4
+        )
+
+
+def test_merged_sample_bf16_table_grad_dtype():
+    from rodynrf_tpu.ops.coalesced import merged_sample
+
+    M, R, nS, C = 300, 64, 2, 4
+    rows = jnp.asarray(RNG.integers(0, R, M), jnp.int32)
+    table = jnp.asarray(
+        RNG.standard_normal((R, nS * 4 * C)), jnp.float32
+    ).astype(jnp.bfloat16)
+    w = jnp.asarray(RNG.uniform(0, 1, (M, nS, 4)), jnp.float32)
+
+    for impl in ("csum", "xla"):
+        gt = jax.grad(
+            lambda t: jnp.sum(merged_sample(t, rows, w, impl))
+        )(table)
+        assert gt.dtype == jnp.bfloat16
