@@ -86,7 +86,12 @@ def dynamic_side_weights(sigma_d: jnp.ndarray, dists: jnp.ndarray) -> jnp.ndarra
     alpha_d = 1.0 - jnp.exp(-sigma_d * dists)
     T_d = _exclusive_transmittance(alpha_d)
     weights_d = alpha_d * T_d
-    return weights_d / (jnp.sum(weights_d, -1, keepdims=True) + 1e-10)
+    # max(sum, eps) instead of the reference's sum + eps (train.py weights_d
+    # normalization): XLA's simplifier can fold the +1e-10 into the f32 sum
+    # (1e-10 < ulp for any sum > ~1e-3), after which an all-empty ray divides
+    # 0/0 = NaN. max() is fold-proof; for sum >= eps the two differ by
+    # <= 1e-10 relative — far below every parity tolerance.
+    return weights_d / jnp.maximum(jnp.sum(weights_d, -1, keepdims=True), 1e-10)
 
 
 class RenderOutputs(NamedTuple):
@@ -145,7 +150,8 @@ def raw2outputs(
 
     weights_d = alpha_d * T_d
     weights_s = alpha_s * T_s
-    weights_d = weights_d / (jnp.sum(weights_d, -1, keepdims=True) + 1e-10)
+    # max(): fold-proof zero-ray guard, see dynamic_side_weights
+    weights_d = weights_d / jnp.maximum(jnp.sum(weights_d, -1, keepdims=True), 1e-10)
     weights_full = (alpha_d * blending + alpha_s * (1.0 - blending)) * T_full
 
     rgb_map_d = jnp.sum(weights_d[..., None] * rgb_d, -2)

@@ -91,13 +91,20 @@ def eval_static_field(
     ray_valid: jnp.ndarray,
     ray_type: str = "ndc",
     packed=None,
+    dists=None,
 ) -> FieldEval:
     """Static field forward over [R, S] samples.
 
     packed: optional prebuilt gather tables (stat.pack_tables) — hoist table
-    construction out of per-pass / per-chunk code."""
+    construction out of per-pass / per-chunk code.
+    dists: optional precomputed per-sample dists (UNscaled, i.e. the
+    _dists_and_viewdirs output) — the compacted eval renderer passes the
+    dense-space consecutive-z dists, which cannot be recovered from the
+    compacted z_vals (render/renderer.py)."""
     R, S, _ = xyz.shape
-    dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
+    dense_dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
+    if dists is None:
+        dists = dense_dists
 
     xyz_n = dyn.normalize_coord(xyz, aabb)
     flat = xyz_n.reshape(-1, 3)
@@ -156,15 +163,20 @@ def eval_dynamic_field(
     ray_valid: jnp.ndarray,
     ray_type: str = "ndc",
     packed=None,
+    dists=None,
 ) -> FieldEval:
     """Dynamic field forward over [R, S] samples.
 
     The deformation warp is evaluated once and shared across the density,
     appearance, blending, and visualization paths (the reference re-runs it
     four times with identical inputs — see fields/dynamic.py docstring).
+
+    dists: optional precomputed UNscaled dists (see eval_static_field).
     """
     R, S, _ = xyz.shape
-    dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
+    dense_dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
+    if dists is None:
+        dists = dense_dists
 
     xyz_flat = xyz.reshape(-1, 3)
     xyz_n = dyn.normalize_coord(xyz, aabb)

@@ -46,16 +46,33 @@ def make_chunk_renderer(
     n_samples: int,
     step_size: float,
     alpha_mask=None,
+    compact: bool = False,
+    k_quantum: int = 32,
 ):
     """Build the jitted per-chunk render function (eval mode: deterministic
     sampling, no stochastic white fill).
 
     alpha_mask: optional AlphaGridMask — samples whose occupancy bit is 0 are
     marked invalid before the field evaluation, the reference's early-out
-    (tensorBase.py:745-765)."""
+    (tensorBase.py:745-765).
 
-    @jax.jit
-    def render_chunk(params, packs, aabb, rays, ts) -> RenderMaps:
+    compact: with an alpha_mask, COMPACT each ray's occupied samples into a
+    fixed [R, K] bucket and run both field evaluations only on those — the
+    TPU-native form of the reference's `xyz[ray_valid]` boolean early-out
+    (tensorBase.py:745-804). K is chosen per chunk as the max per-ray
+    occupied count rounded up to `k_quantum` (one compiled executable per
+    bucket, cached): skipped samples have sigma = blending = rgb = 0 in the
+    dense path too, so the composited maps are EXACT up to the compositor's
+    +1e-10 cumprod epsilon at dropped rows (~1e-8 relative; asserted by
+    tests/test_render_compact.py). Only `delta_xyz` changes definition: the
+    mean warp displacement runs over the evaluated samples instead of all S
+    (a vis-only diagnostic; the dense path averages the warp over masked
+    samples too)."""
+    import functools as _functools
+
+    from .pipeline import _dists_and_viewdirs
+
+    def _sample_and_mask(aabb, rays, ts):
         xyz, z_vals, ray_valid = sample_xyz(
             rays, n_samples, ray_type, static_cfg.near_far, aabb, step_size, None
         )
@@ -64,26 +81,76 @@ def make_chunk_renderer(
             t_flat = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1)
             alphas = alpha_mask.sample_alpha(xyz.reshape(-1, 3), t_flat).reshape(R, S)
             ray_valid = ray_valid & (alphas > 0)
+        return xyz, z_vals, ray_valid
+
+    def _finish(params, packs, aabb, rays, ts, xyz, z_vals, valid, dists=None, keepf=None):
         st = eval_static_field(
-            params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type,
-            packed=packs[0],
+            params["static"], static_cfg, aabb, rays, ts, xyz, z_vals, valid, ray_type,
+            packed=packs[0], dists=dists,
         )
         dn = eval_dynamic_field(
-            params["dynamic"], dynamic_cfg, aabb, rays, ts, xyz, z_vals, ray_valid, ray_type,
-            packed=packs[1],
+            params["dynamic"], dynamic_cfg, aabb, rays, ts, xyz, z_vals, valid, ray_type,
+            packed=packs[1], dists=dists,
         )
         out = raw2outputs(
             st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
             is_train=False, ray_type=ray_type,
         )
-        delta = jnp.mean(jnp.abs(dn.xyz_prime - dn.pts_ref), axis=1)
+        if keepf is None:
+            delta = jnp.mean(jnp.abs(dn.xyz_prime - dn.pts_ref), axis=1)
+        else:
+            kf = keepf[..., None]
+            delta = jnp.sum(jnp.abs(dn.xyz_prime - dn.pts_ref) * kf, axis=1) / jnp.maximum(
+                jnp.sum(kf, axis=1), 1.0
+            )
         return RenderMaps(
             out.rgb_full, out.depth_full, out.rgb_s, out.depth_s, out.rgb_d, out.depth_d,
             out.dynamicness, delta,
         )
 
+    @jax.jit
+    def render_dense(params, packs, aabb, rays, ts) -> RenderMaps:
+        xyz, z_vals, ray_valid = _sample_and_mask(aabb, rays, ts)
+        return _finish(params, packs, aabb, rays, ts, xyz, z_vals, ray_valid)
+
+    @jax.jit
+    def max_count(aabb, rays, ts):
+        _, _, valid = _sample_and_mask(aabb, rays, ts)
+        return jnp.max(jnp.sum(valid.astype(jnp.int32), axis=1))
+
+    @_functools.lru_cache(maxsize=None)
+    def _compact_fn(K: int):
+        @jax.jit
+        def render_compact(params, packs, aabb, rays, ts) -> RenderMaps:
+            xyz, z_vals, valid = _sample_and_mask(aabb, rays, ts)
+            # dense-space consecutive-z dists; compacted z_vals cannot
+            # reproduce them (each kept sample keeps ITS dense interval)
+            dists, _ = _dists_and_viewdirs(rays, z_vals, ray_type)
+            # valid-first stable order preserves ascending z among kept
+            # samples (transmittance order); dropped slots carry alpha=0
+            order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)
+            idx = order[:, :K]
+            keep = jnp.take_along_axis(valid, idx, axis=1)
+            xyz_c = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+            z_c = jnp.take_along_axis(z_vals, idx, axis=1)
+            d_c = jnp.take_along_axis(dists, idx, axis=1)
+            return _finish(
+                params, packs, aabb, rays, ts, xyz_c, z_c, keep,
+                dists=d_c, keepf=keep.astype(jnp.float32),
+            )
+
+        return render_compact
+
     def render_chunk_wrapped(params, packs, aabb, rays, ts):
-        return render_chunk(params, packs, aabb, rays, ts)
+        if not (compact and alpha_mask is not None):
+            return render_dense(params, packs, aabb, rays, ts)
+        maxc = int(max_count(aabb, rays, ts))
+        K = min(n_samples, -(-max(maxc, 1) // k_quantum) * k_quantum)
+        if K >= n_samples:
+            return render_dense(params, packs, aabb, rays, ts)
+        return _compact_fn(K)(params, packs, aabb, rays, ts)
+
+    render_chunk_wrapped.compact_fn = _compact_fn  # bench/tests: pin one K
 
     # gather tables are built once per FRAME by render_image (not once per
     # chunk inside the jitted body): ~15 ms of table construction amortized

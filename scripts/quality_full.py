@@ -139,6 +139,16 @@ def run(name: str, out: dict):
             _save_json(out)
     wall = time.time() - t0
 
+    # converged checkpoint (NOT committed — ~GB; the bench's masked-render
+    # occupancy export scripts/export_alpha.py reads it)
+    from rodynrf_tpu.train.checkpoints import save_checkpoint
+
+    save_checkpoint(
+        os.path.join(OUT_ROOT, name, "ckpt.npz"),
+        tr.params, tr.static_cfg, tr.dynamic_cfg, np.asarray(tr.aabb),
+        extra={"n_iters": N_ITERS, "run": name},
+    )
+
     poses_mtx = np.asarray(pose_to_mtx(tr.params["pose"]))
     fov = float(np.asarray(tr.params["fov"])[0, 0])
     focal = max(H, W) / 2.0 / np.tan(fov) if cfg["optimize"] else tr.focal_fixed
