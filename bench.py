@@ -100,17 +100,37 @@ def measure_train(scene, n_voxel: int, warmup: int, iters: int, bf16: bool = Fal
     return iters / dt, trainer
 
 
-def measure_render(trainer, scene, chunk=8192, reps=10, bf16=False):
+ALPHA_MASK_NPZ = os.path.join(
+    HERE, "golden", "out_quality", "no_poses", "alpha_mask.npz"
+)
+
+
+def measure_render(trainer, scene, chunk=8192, reps=10, bf16=False, masked=False):
     """Render-path throughput (BASELINE.md metric (b)): eval-mode dual-field
     chunk renderer (reference renders eval at chunk 512, renderer.py:732).
 
     bf16=True measures the documented --bf16 eval mode (bf16 gather tables;
-    ~bf16-quantization-level differences, tests/test_fused_vm.py)."""
+    ~bf16-quantization-level differences, tests/test_fused_vm.py).
+
+    masked=True additionally loads the committed converged-scene occupancy
+    mask (golden/out_quality/.../alpha_mask.npz, built by
+    scripts/export_alpha.py from the QUALITY.md no_poses checkpoint) and
+    runs the compacted early-out path — the production --compact_eval
+    configuration (exact vs dense-masked, tests/test_render_compact.py).
+    Returns None when the mask artifact is absent."""
     import dataclasses
 
     import jax.numpy as jnp
 
     from rodynrf_tpu.render.renderer import make_chunk_renderer
+
+    alpha_mask = None
+    if masked:
+        if not os.path.exists(ALPHA_MASK_NPZ):
+            return None
+        from rodynrf_tpu.fields.alpha_mask import load_alpha_npz
+
+        alpha_mask = load_alpha_npz(ALPHA_MASK_NPZ)
 
     s_cfg, d_cfg = trainer.static_cfg, trainer.dynamic_cfg
     if bf16:
@@ -119,6 +139,7 @@ def measure_render(trainer, scene, chunk=8192, reps=10, bf16=False):
     render_chunk = make_chunk_renderer(
         s_cfg, d_cfg, trainer.args.ray_type, trainer.n_samples,
         trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
+        alpha_mask=alpha_mask, compact=masked,
     )
     params_r = {"static": trainer.params["static"], "dynamic": trainer.params["dynamic"]}
     rng = np.random.default_rng(0)
@@ -200,8 +221,17 @@ def main():
     # >75% of the reference's 100k iterations run) in the PRODUCTION
     # configuration — bf16 gather tables, the repo default (--bf16 1)
     sps_300_bf16, trainer_300 = measure_train(scene, 300 ** 3, warmup, iters, bf16=True)
-    render_rays_bf16 = measure_render(trainer_300, scene, bf16=True)
+    render_rays_bf16_dense = measure_render(trainer_300, scene, bf16=True)
     render_rays = measure_render(trainer_300, scene)
+    # production eval configuration: converged-scene occupancy mask +
+    # compacted early-out (--compact_eval 1, the default); falls back to the
+    # dense number when the mask artifact is absent
+    render_rays_bf16_masked = measure_render(trainer_300, scene, bf16=True, masked=True)
+    render_rays_bf16 = (
+        render_rays_bf16_masked
+        if render_rays_bf16_masked is not None
+        else render_rays_bf16_dense
+    )
     # f32 bit-parity mode (--bf16 0), for comparison
     sps_300_f32, _ = measure_train(scene, 300 ** 3, warmup, iters, bf16=False)
 
@@ -230,6 +260,8 @@ def main():
         "rays_per_sec_f32": round(sps_300_f32 * BATCH, 1),
         "render_rays_per_sec": round(render_rays, 1),
         "render_rays_per_sec_bf16": round(render_rays_bf16, 1),
+        "render_rays_per_sec_bf16_dense": round(render_rays_bf16_dense, 1),
+        "render_masked": render_rays_bf16_masked is not None,
         "batch_size": BATCH,
         "n_samples": trainer_300.n_samples,
         "grid": list(trainer_300.static_cfg.grid_size),

@@ -98,3 +98,16 @@ def unpack_alpha(d) -> AlphaGridMask:
     length = int(np.prod(shape))
     vol = np.unpackbits(d["alphaMask.mask"])[:length].reshape(shape).astype(np.float32)
     return AlphaGridMask(aabb=jnp.asarray(d["alphaMask.aabb"]), alpha_volume=jnp.asarray(vol))
+
+
+def load_alpha_npz(path: str) -> AlphaGridMask:
+    """Load a standalone packed-mask .npz (scripts/export_alpha.py output;
+    npz keys replace '.' with '_')."""
+    with np.load(path, allow_pickle=False) as f:
+        return unpack_alpha(
+            {
+                "alphaMask.shape": f["alphaMask_shape"],
+                "alphaMask.mask": f["alphaMask_mask"],
+                "alphaMask.aabb": f["alphaMask_aabb"],
+            }
+        )

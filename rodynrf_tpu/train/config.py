@@ -199,6 +199,18 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "remats on the 640^3-class schedules")
     parser.add_argument("--export_th", type=int, default=1,
                         help="also export torch-compatible .th checkpoints")
+    parser.add_argument("--compact_eval", type=int, default=1,
+                        help="render/eval paths: when an occupancy mask is "
+                        "available (embedded in the checkpoint or via "
+                        "--alpha_mask), compact each ray's occupied samples "
+                        "into a fixed [R, K] bucket before the field evals "
+                        "(the TPU form of the reference's xyz[ray_valid] "
+                        "early-out, tensorBase.py:745-804; exact to ~1e-8, "
+                        "tests/test_render_compact.py). 0 = dense masked")
+    parser.add_argument("--alpha_mask", type=str, default="",
+                        help="path to a packed occupancy mask .npz "
+                        "(scripts/export_alpha.py) to use for eval/render "
+                        "early-out; overrides any checkpoint-embedded mask")
 
     cmd = list(cmd) if cmd is not None else None
     # pre-pass: expand --config file into defaults, CLI overrides win

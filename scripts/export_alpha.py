@@ -25,6 +25,12 @@ import sys
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 
 import jax
+
+# the axon TPU plugin takes precedence over the JAX_PLATFORMS env var;
+# apply it through the config API so `JAX_PLATFORMS=cpu ...` works
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -185,9 +185,14 @@ def run(name: str, out: dict):
         "grad_accum": int(tr._grad_accum()),
         "psnr_curve": psnr_curve,
         "eval_psnr": round(float(np.mean(PSNRs)), 2),
-        "eval_ssim": round(float(stats[1]), 4) if stats.size > 1 else None,
-        "eval_lpips_alex": round(float(stats[2]), 4) if stats.size > 2 else None,
-        "eval_lpips_vgg": round(float(stats[3]), 4) if stats.size > 3 else None,
+        # NaN -> None: lpips columns are NaN when no weights exist in the
+        # environment (eval/metrics.py), and NaN is not valid JSON
+        "eval_ssim": round(float(stats[1]), 4)
+        if stats.size > 1 and np.isfinite(stats[1]) else None,
+        "eval_lpips_alex": round(float(stats[2]), 4)
+        if stats.size > 2 and np.isfinite(stats[2]) else None,
+        "eval_lpips_vgg": round(float(stats[3]), 4)
+        if stats.size > 3 and np.isfinite(stats[3]) else None,
         "wall_s": round(wall, 1),
         "floor": cfg["psnr_floor"],
     }

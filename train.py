@@ -271,6 +271,7 @@ def _load_reference_th_pair(ckpt_path):
     dyn_params, dyn_meta = import_th(ckpt_path)
     static_path = ckpt_path.replace(".th", "_static.th")
     stat_params, stat_meta = import_th(static_path)
+    alpha_mask = dyn_meta.get("alpha_mask")
 
     def cfg_from_kwargs(kw):
         return FieldConfig(
@@ -298,21 +299,32 @@ def _load_reference_th_pair(ckpt_path):
     poses_mtx = np.asarray(kw["se3_poses"], np.float32)
     focal = float(np.asarray(kw["focal_ratio_refine"]))
     params = {"static": stat_params, "dynamic": dyn_params}
-    return params, cfg_from_kwargs(stat_meta["kwargs"]), cfg_from_kwargs(kw), aabb, poses_mtx, focal
+    return (params, cfg_from_kwargs(stat_meta["kwargs"]), cfg_from_kwargs(kw), aabb,
+            poses_mtx, focal, alpha_mask)
 
 
 def render_test(args, logfolder):
     scene = load_scene(args)
     ckpt_path = args.ckpt or f"{logfolder}/{args.expname}.npz"
     if ckpt_path.endswith(".th"):
-        params, static_cfg, dynamic_cfg, aabb, poses_mtx, focal = _load_reference_th_pair(ckpt_path)
+        (params, static_cfg, dynamic_cfg, aabb, poses_mtx, focal,
+         alpha_mask) = _load_reference_th_pair(ckpt_path)
     else:
-        params, static_cfg, dynamic_cfg, aabb, extra = load_checkpoint(ckpt_path)
+        params, static_cfg, dynamic_cfg, aabb, extra, alpha_mask = load_checkpoint(
+            ckpt_path, return_alpha=True
+        )
         poses_mtx = np.asarray(pose_to_mtx(np.asarray(params["pose"])))
         focal = extra.get("focal")
+    if args.alpha_mask:
+        from rodynrf_tpu.fields.alpha_mask import load_alpha_npz
+
+        alpha_mask = load_alpha_npz(args.alpha_mask)
     n_samples = min(args.nSamples, cal_n_samples(static_cfg.grid_size, args.step_ratio))
     step_size = static_cfg.step_size(aabb)
-    render_chunk = make_chunk_renderer(static_cfg, dynamic_cfg, args.ray_type, n_samples, step_size)
+    render_chunk = make_chunk_renderer(
+        static_cfg, dynamic_cfg, args.ray_type, n_samples, step_size,
+        alpha_mask=alpha_mask, compact=bool(args.compact_eval),
+    )
 
     near_fars = None
     if args.render_test or args.render_train:
