@@ -140,8 +140,12 @@ def app_feature(params, cfg: FieldConfig, xyz_warped_n) -> jnp.ndarray:
     return feats @ params["basis_mat"]
 
 
-def pack_tables(params, cfg: FieldConfig):
+def pack_tables(params, cfg: FieldConfig, eval_mode: bool = False):
     """Build the fused gather tables for the dynamic field's three grids.
+
+    eval_mode: render paths keep no backward residuals, so the merged-layout
+    auto choice may use the larger EVAL_MERGED_BYTES_LIMIT — the bf16
+    640^3-class converged grids stay on the fused merged path at eval.
 
     Hoist this OUT of per-pass evaluation code (train/step.py builds it once
     per step, render code once per frame): the table construction — and with
@@ -153,8 +157,9 @@ def pack_tables(params, cfg: FieldConfig):
     density+blending rows are gathered for every sample, the wide appearance
     rows only for the per-ray top-K bucket (render/pipeline.py), so the
     gathered appearance block shrinks by 1/app_frac both directions."""
-    from ..ops.fused_vm import pack_vm
+    from ..ops.fused_vm import EVAL_MERGED_BYTES_LIMIT, MERGED_BYTES_LIMIT, pack_vm
 
+    limit = EVAL_MERGED_BYTES_LIMIT if eval_mode else MERGED_BYTES_LIMIT
     if cfg.app_frac > 0.0:
         return {
             "db": pack_vm(
@@ -166,6 +171,7 @@ def pack_tables(params, cfg: FieldConfig):
                 gather_dtype=cfg.gather_dtype,
                 grad_impl=cfg.grad_impl,
                 layout=cfg.vm_layout,
+                merged_bytes_limit=limit,
             ),
             "app": pack_vm(
                 [(params["app_plane"], params["app_line"])],
@@ -173,6 +179,7 @@ def pack_tables(params, cfg: FieldConfig):
                 gather_dtype=cfg.gather_dtype,
                 grad_impl=cfg.grad_impl,
                 layout=cfg.vm_layout,
+                merged_bytes_limit=limit,
             ),
         }
     return pack_vm(
@@ -185,6 +192,7 @@ def pack_tables(params, cfg: FieldConfig):
         gather_dtype=cfg.gather_dtype,
         grad_impl=cfg.grad_impl,
         layout=cfg.vm_layout,
+        merged_bytes_limit=limit,
     )
 
 

@@ -47,6 +47,13 @@ from .grid_sample import MAT_MODE, VEC_MODE, _strided_len
 # the f32 300³ train step measured 18.4 GB > 15.75 GB HBM. See pack_vm.
 MERGED_BYTES_LIMIT = 1_200_000_000
 
+# Eval-mode budget: the render path keeps NO gathered-activation residuals
+# (no backward), so the only HBM cost of the merged layout is the tables
+# themselves. 6 GB admits the bf16 640^3-class converged grids (~3.4 GB)
+# and the f32 300^3 grids (~1.5 GB) on a 16 GB chip while still rejecting
+# f32 640^3-class (~6.9 GB tables + raw grids + chunk activations).
+EVAL_MERGED_BYTES_LIMIT = 6_000_000_000
+
 Grid = Tuple[Sequence[jnp.ndarray], Sequence[jnp.ndarray]]  # (planes, lines)
 
 
@@ -275,6 +282,7 @@ def pack_vm(
     gather_dtype=None,
     layout: str = "auto",
     grad_impl: str = "autodiff",
+    merged_bytes_limit: int = MERGED_BYTES_LIMIT,
 ) -> PackedVM:
     """Build the fused tables for one or more VM grids sampled at shared xyz.
 
@@ -297,7 +305,7 @@ def pack_vm(
         layout = (
             "merged"
             if len(strides) > 1
-            and merged_table_bytes(grids, strides, gather_dtype) <= MERGED_BYTES_LIMIT
+            and merged_table_bytes(grids, strides, gather_dtype) <= merged_bytes_limit
             else "strided"
         )
     if layout == "merged":

@@ -155,9 +155,11 @@ def make_chunk_renderer(
     # gather tables are built once per FRAME by render_image (not once per
     # chunk inside the jitted body): ~15 ms of table construction amortized
     # over the whole frame
+    # eval_mode: no backward residuals, so the merged-layout budget is the
+    # larger eval one (ops/fused_vm.py EVAL_MERGED_BYTES_LIMIT)
     render_chunk_wrapped.pack = lambda params: (
         stat_fields.pack_tables(params["static"], static_cfg),
-        dyn_fields.pack_tables(params["dynamic"], dynamic_cfg),
+        dyn_fields.pack_tables(params["dynamic"], dynamic_cfg, eval_mode=True),
     )
     return render_chunk_wrapped
 
@@ -229,7 +231,7 @@ def make_vis_chunk_renderer(
 
     render_chunk_vis_wrapped.pack = lambda params: (
         stat_fields.pack_tables(params["static"], static_cfg),
-        dyn_fields.pack_tables(params["dynamic"], dynamic_cfg),
+        dyn_fields.pack_tables(params["dynamic"], dynamic_cfg, eval_mode=True),
     )
     return render_chunk_vis_wrapped
 
