@@ -111,3 +111,74 @@ def load_alpha_npz(path: str) -> AlphaGridMask:
                 "alphaMask.aabb": f["alphaMask_aabb"],
             }
         )
+
+
+def dual_dense_alpha(
+    params, static_cfg, dynamic_cfg, aabb, t_values, grid_size, chunk: int = 262144
+) -> np.ndarray:
+    """[X, Y, Z, T] dense alpha = max over the two fields, per time slice.
+
+    The reference's getDenseAlpha (tensorBase.py:564-589) is single-field;
+    for the DUAL model a sample is skippable only when BOTH fields are
+    transparent there, so the mask volume takes max(alpha_static,
+    alpha_dynamic(t)). Used by the update_AlphaMask_list training hook and
+    scripts/export_alpha.py."""
+    from ..ops.grid_sample import sample_vm_sum
+    from . import dynamic as dyn
+    from .static import feature2density
+
+    xs = np.linspace(0, 1, grid_size[0], dtype=np.float32)
+    ys = np.linspace(0, 1, grid_size[1], dtype=np.float32)
+    zs = np.linspace(0, 1, grid_size[2], dtype=np.float32)
+    pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1).reshape(-1, 3)
+    aabb_np = np.asarray(aabb)
+    pts = aabb_np[0] * (1 - pts) + aabb_np[1] * pts
+    step_s = static_cfg.step_size(aabb_np)
+    step_d = dynamic_cfg.step_size(aabb_np)
+    aabb_j = jnp.asarray(aabb_np)
+
+    @jax.jit
+    def alpha_static(p, xyz):
+        xyz_n = dyn.normalize_coord(xyz, aabb_j)
+        feat = sample_vm_sum(p["density_plane"], p["density_line"], xyz_n)
+        return 1.0 - jnp.exp(-feature2density(feat, static_cfg) * step_s)
+
+    @jax.jit
+    def alpha_dynamic(p, xyz, t_value):
+        xyz_n = dyn.normalize_coord(xyz, aabb_j)
+        t = jnp.full(xyz.shape[0], t_value, jnp.float32)
+        xyz_p = dyn.warp_coordinate(p, xyz, t, aabb_j)
+        feat = dyn.density_feature(
+            p, dynamic_cfg, xyz_n, t, dyn.normalize_coord(xyz_p, aabb_j)
+        )
+        return 1.0 - jnp.exp(-feature2density(feat, dynamic_cfg) * step_d)
+
+    N = pts.shape[0]
+    out = np.zeros((N, len(t_values)), np.float32)
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        block = pts[s:e]
+        pad = chunk - block.shape[0]
+        if pad:
+            block = np.pad(block, ((0, pad), (0, 0)))
+        xb = jnp.asarray(block)
+        a_s = np.asarray(alpha_static(params["static"], xb))[: e - s]
+        for ti, tv in enumerate(t_values):
+            a_d = np.asarray(alpha_dynamic(params["dynamic"], xb, float(tv)))[: e - s]
+            out[s:e, ti] = np.maximum(a_s, a_d)
+    return out.reshape(tuple(grid_size) + (len(t_values),))
+
+
+def build_dual_alpha_mask(
+    params, static_cfg, dynamic_cfg, aabb, n_frames: int, thres: float,
+    max_dim: int = 192,
+) -> AlphaGridMask:
+    """Dense dual-field alpha at the current grid (capped at max_dim per
+    axis) -> thresholded AlphaGridMask (reference updateAlphaMask contract,
+    tensorBase.py:591-629; aabb shrink is NOT applied — the dual model's
+    static scene legitimately fills the NDC box)."""
+    gs = [min(int(g), max_dim) for g in dynamic_cfg.grid_size]
+    t_values = np.linspace(-1.0, 1.0, n_frames)
+    alpha = dual_dense_alpha(params, static_cfg, dynamic_cfg, aabb, t_values, gs)
+    mask, _ = update_alpha_mask(jnp.asarray(alpha), jnp.asarray(np.asarray(aabb)), thres)
+    return mask

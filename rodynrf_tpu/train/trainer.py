@@ -154,6 +154,11 @@ class Trainer:
 
         self.iteration = 0
         self.metrics_history = []
+        # occupancy mask built at update_AlphaMask_list iterations (the
+        # reference PARSES this flag but never reads it, opt.py:211 — here
+        # it is functional); used by eval/render early-out, never by the
+        # train step, and persisted in checkpoints
+        self.alpha_mask = None
         # golden-comparison hook: callable(iteration) -> (ray_idx, ray_idx_rand)
         # replacing the permutation samplers with an externally recorded stream
         self.sampler_override = None
@@ -440,6 +445,23 @@ class Trainer:
         self.static_cfg = dataclasses.replace(self.static_cfg, app_frac=af)
         self.dynamic_cfg = dataclasses.replace(self.dynamic_cfg, app_frac=af)
         return True
+
+    def update_alpha_mask(self):
+        """Rebuild the dual-field occupancy mask at the current params
+        (reference updateAlphaMask contract, tensorBase.py:591-629; dual-max
+        semantics fields/alpha_mask.build_dual_alpha_mask). Called by the
+        train.py loop at update_AlphaMask_list iterations."""
+        from ..fields.alpha_mask import build_dual_alpha_mask
+
+        params = {"static": self.params["static"], "dynamic": self.params["dynamic"]}
+        self.alpha_mask = build_dual_alpha_mask(
+            params, self.static_cfg, self.dynamic_cfg, np.asarray(self.aabb),
+            n_frames=self.scene.n_frames, thres=self.args.alpha_mask_thre,
+        )
+        occ = float(np.asarray(self.alpha_mask.alpha_volume).mean())
+        print(f"alpha mask updated: grid {self.alpha_mask.alpha_volume.shape} "
+              f"occupancy {occ:.3f}")
+        return occ
 
     def _upsample(self, iteration: int):
         """Coarse-to-fine grid growth (reference: train.py:2582-2606)."""

@@ -111,3 +111,33 @@ def test_alpha_mask_native_roundtrip(tmp_path):
     # without the flag the legacy 5-tuple shape is preserved
     out = load_checkpoint(path)
     assert len(out) == 5
+
+
+def test_trainer_update_alpha_mask_hook(tmp_path):
+    """update_AlphaMask_list is FUNCTIONAL here (the reference parses it but
+    never reads it, opt.py:211): Trainer.update_alpha_mask builds the
+    dual-field mask at the current params, checkpoints carry it, and the
+    loaded mask reproduces it."""
+    from rodynrf_tpu.testing import tiny_trainer
+    from rodynrf_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+
+    tr = tiny_trainer("ndc", 0)
+    for _ in range(2):
+        tr.run_step()
+    occ = tr.update_alpha_mask()
+    assert tr.alpha_mask is not None
+    assert tr.alpha_mask.alpha_volume.shape[-1] == tr.scene.n_frames
+    assert 0.0 <= occ <= 1.0
+
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(
+        path,
+        {k: tr.params[k] for k in ("static", "dynamic", "pose", "fov")},
+        tr.static_cfg, tr.dynamic_cfg, np.asarray(tr.aabb),
+        alpha_mask=tr.alpha_mask,
+    )
+    _, _, _, _, _, mask2 = load_checkpoint(path, return_alpha=True)
+    assert mask2 is not None
+    np.testing.assert_array_equal(
+        np.asarray(mask2.alpha_volume), np.asarray(tr.alpha_mask.alpha_volume)
+    )

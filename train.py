@@ -79,13 +79,14 @@ def _save_ckpts(trainer, logfolder, expname):
         trainer.dynamic_cfg,
         np.asarray(trainer.aabb),
         extra={"focal": focal, "iteration": trainer.iteration},
+        alpha_mask=trainer.alpha_mask,
     )
     if trainer.args.export_th:
         try:
             export_th(
                 f"{logfolder}/{expname}.th", trainer.params["dynamic"],
                 trainer.dynamic_cfg, np.asarray(trainer.aabb), poses_mtx, focal,
-                dynamic=True,
+                dynamic=True, alpha_mask=trainer.alpha_mask,
             )
             export_th(
                 f"{logfolder}/{expname}_static.th", trainer.params["static"],
@@ -195,8 +196,14 @@ def reconstruction(args):
 
     t0 = time.time()
     window = []
+    update_alpha_iters = set(args.update_AlphaMask_list)
     for it in range(args.n_iters):
         metrics = trainer.run_step()
+        # occupancy-mask refresh (the reference parses update_AlphaMask_list
+        # but never reads it, opt.py:211; functional here — the mask feeds
+        # the eval/render early-out and checkpoints, never the train step)
+        if (it + 1) in update_alpha_iters:
+            trainer.update_alpha_mask()
         if (it + 1) % args.progress_refresh_rate == 0:
             host = {k: float(v) for k, v in metrics.items()}
             window.append(host["psnr"])
@@ -243,6 +250,7 @@ def reconstruction(args):
     render_chunk = make_chunk_renderer(
         trainer.static_cfg, trainer.dynamic_cfg, args.ray_type, trainer.n_samples,
         trainer.static_cfg.step_size(np.asarray(scene.scene_bbox)),
+        alpha_mask=trainer.alpha_mask, compact=bool(args.compact_eval),
     )
     PSNRs, near_fars, _ = evaluate(
         render_chunk, trainer.params, trainer.aabb, poses_mtx, focal, scene,
