@@ -37,19 +37,23 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def chain_time(step, init, n_lo=3, n_hi=15):
-    def runner(n):
-        @jax.jit
-        def f(init):
-            def body(c, _):
-                return step(c), None
+def chain_time(step, args, n_lo=3, n_hi=15):
+    # args are jit ARGUMENTS (closed-over device arrays get baked into the
+    # HLO constant pool, which blows the axon remote-compile size limit)
+    import functools
 
-            c, _ = jax.lax.scan(body, init, None, length=n)
+    def runner(n):
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def f(c0, args, n):
+            def body(c, _):
+                return step(c, args), None
+
+            c, _ = jax.lax.scan(body, c0, None, length=n)
             return c
 
-        float(jnp.sum(f(init)))
+        float(f(jnp.float32(0.0), args, n))
         t0 = time.perf_counter()
-        float(jnp.sum(f(init)))
+        float(f(jnp.float32(0.0), args, n))
         return time.perf_counter() - t0
 
     lo, hi = runner(n_lo), runner(n_hi)
@@ -59,7 +63,7 @@ def chain_time(step, init, n_lo=3, n_hi=15):
 def main():
     # merged 300^3-class o=0 table: ~374k rows x 960 ch bf16 (PERF.md §3)
     R, C = 374_000, 960
-    N = 830_000  # one dynamic eval's rows per orientation at 276k samples
+    N = 829_440  # one dynamic eval's rows: 276480 samples x 3 orientations
     key = jax.random.PRNGKey(0)
     table = jax.random.normal(key, (R, C)).astype(jnp.bfloat16)
     rand_rows = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, R, jnp.int32)
@@ -68,8 +72,9 @@ def main():
     dup8 = jnp.repeat(((jnp.arange(N // 8, dtype=jnp.int32) * R) // (N // 8)), 8)
     perm = jax.random.permutation(jax.random.PRNGKey(2), N).astype(jnp.int32)
 
-    def take(rows, sorted_flag=False):
-        def step(c):
+    def take(sorted_flag=False):
+        def step(c, args):
+            table, rows = args
             r = rows + (c * 0.0).astype(jnp.int32)
             v = table.at[r].get(mode="promise_in_bounds",
                                 indices_are_sorted=sorted_flag)
@@ -79,22 +84,23 @@ def main():
 
     out = {"R": R, "C": C, "N": N, "device": str(jax.devices()[0])}
     cases = {
-        "random": take(rand_rows),
-        "ascending": take(asc_rows),
-        "ascending_flagged": take(asc_rows, True),
-        "blocked64": take(blocked),
-        "dup8": take(dup8, True),
+        "random": (take(), (table, rand_rows)),
+        "ascending": (take(), (table, asc_rows)),
+        "ascending_flagged": (take(True), (table, asc_rows)),
+        "blocked64": (take(), (table, blocked)),
+        "dup8": (take(True), (table, dup8)),
     }
 
-    def unsort(c):
-        vals = jnp.take(table, asc_rows, axis=0).astype(jnp.float32)
+    def unsort(c, args):
+        table, rows, perm = args
+        vals = jnp.take(table, rows, axis=0).astype(jnp.float32)
         v = jnp.take(vals, perm + (c * 0.0).astype(jnp.int32), axis=0)
         return c + jnp.sum(v[:, :1])
 
-    cases["sorted_take_plus_unsort"] = unsort
+    cases["sorted_take_plus_unsort"] = (unsort, (table, asc_rows, perm))
 
-    for name, fn in cases.items():
-        per = chain_time(fn, jnp.float32(0.0))
+    for name, (fn, args) in cases.items():
+        per = chain_time(fn, args)
         out[name] = {
             "ms": round(per * 1e3, 3),
             "Midx_per_s": round(N / per / 1e6, 1),
