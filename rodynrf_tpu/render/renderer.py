@@ -72,14 +72,19 @@ def make_chunk_renderer(
 
     from .pipeline import _dists_and_viewdirs
 
-    def _sample_and_mask(aabb, rays, ts):
+    def _sample_and_mask(aabb, rays, ts, mask):
+        # `mask` is threaded through the jit boundary as an ARGUMENT: a
+        # closed-over AlphaGridMask volume gets embedded in the lowered HLO
+        # as a constant (a 192^3 x T f32 volume is ~340 MB of proto), which
+        # blows the axon remote-compile request limit and bloats every
+        # executable. As an argument it is an ordinary device buffer.
         xyz, z_vals, ray_valid = sample_xyz(
             rays, n_samples, ray_type, static_cfg.near_far, aabb, step_size, None
         )
-        if alpha_mask is not None:
+        if mask is not None:
             R, S, _ = xyz.shape
             t_flat = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1)
-            alphas = alpha_mask.sample_alpha(xyz.reshape(-1, 3), t_flat).reshape(R, S)
+            alphas = mask.sample_alpha(xyz.reshape(-1, 3), t_flat).reshape(R, S)
             ray_valid = ray_valid & (alphas > 0)
         return xyz, z_vals, ray_valid
 
@@ -109,20 +114,23 @@ def make_chunk_renderer(
         )
 
     @jax.jit
-    def render_dense(params, packs, aabb, rays, ts) -> RenderMaps:
-        xyz, z_vals, ray_valid = _sample_and_mask(aabb, rays, ts)
+    def _render_dense(params, packs, aabb, rays, ts, mask) -> RenderMaps:
+        xyz, z_vals, ray_valid = _sample_and_mask(aabb, rays, ts, mask)
         return _finish(params, packs, aabb, rays, ts, xyz, z_vals, ray_valid)
 
+    def render_dense(params, packs, aabb, rays, ts) -> RenderMaps:
+        return _render_dense(params, packs, aabb, rays, ts, alpha_mask)
+
     @jax.jit
-    def max_count(aabb, rays, ts):
-        _, _, valid = _sample_and_mask(aabb, rays, ts)
+    def _max_count(aabb, rays, ts, mask):
+        _, _, valid = _sample_and_mask(aabb, rays, ts, mask)
         return jnp.max(jnp.sum(valid.astype(jnp.int32), axis=1))
 
     @_functools.lru_cache(maxsize=None)
     def _compact_fn(K: int):
         @jax.jit
-        def render_compact(params, packs, aabb, rays, ts) -> RenderMaps:
-            xyz, z_vals, valid = _sample_and_mask(aabb, rays, ts)
+        def render_compact(params, packs, aabb, rays, ts, mask) -> RenderMaps:
+            xyz, z_vals, valid = _sample_and_mask(aabb, rays, ts, mask)
             # dense-space consecutive-z dists; compacted z_vals cannot
             # reproduce them (each kept sample keeps ITS dense interval)
             dists, _ = _dists_and_viewdirs(rays, z_vals, ray_type)
@@ -139,12 +147,17 @@ def make_chunk_renderer(
                 dists=d_c, keepf=keep.astype(jnp.float32),
             )
 
-        return render_compact
+        # public signature stays (params, packs, aabb, rays, ts); the mask
+        # rides along as a jit argument (see _sample_and_mask)
+        def call(params, packs, aabb, rays, ts):
+            return render_compact(params, packs, aabb, rays, ts, alpha_mask)
+
+        return call
 
     def render_chunk_wrapped(params, packs, aabb, rays, ts):
         if not (compact and alpha_mask is not None):
             return render_dense(params, packs, aabb, rays, ts)
-        maxc = int(max_count(aabb, rays, ts))
+        maxc = int(_max_count(aabb, rays, ts, alpha_mask))
         K = min(n_samples, -(-max(maxc, 1) // k_quantum) * k_quantum)
         if K >= n_samples:
             return render_dense(params, packs, aabb, rays, ts)

@@ -90,7 +90,7 @@ def bench_step(n_voxel: int, label: str, iters=30, bf16=False):
     assert np.isfinite(float(m["total_loss"]))  # forces the chain
     dt = (time.perf_counter() - t0) / iters
 
-    return {
+    res = {
         "label": label,
         "bf16": bf16,
         "grid": list(tr.static_cfg.grid_size),
@@ -100,6 +100,14 @@ def bench_step(n_voxel: int, label: str, iters=30, bf16=False):
         "rays_per_sec": round(1024 / dt, 1),
         "step_ms": round(dt * 1e3, 3),
     }
+    # free this trainer's device buffers before the next config compiles:
+    # the 300^3 f32 case alone peaks ~15.7 GB of HLO temps (PERF.md) — a
+    # lingering previous trainer's params/opt/dataset OOMs it
+    import gc
+
+    del tr, m, args, scene
+    gc.collect()
+    return res
 
 
 def bench_fused_gather(n_voxel_side=300):
