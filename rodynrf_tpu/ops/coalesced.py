@@ -90,7 +90,17 @@ def _planes_sample_bwd(impl, res, ct):
     vals = table.at[rows].get(mode="promise_in_bounds").astype(jnp.float32).reshape(M, 4, C)
     ct_w4 = jnp.einsum("mc,mkc->mk", ct, vals)
 
-    ct_table = coalesce_table_grad(rows, w4, ct, table.shape[0], impl=impl)
+    # XLA-scatter route: accumulate the table cotangent in the TABLE dtype —
+    # exactly what plain autodiff of a bf16 take does (the astype transpose
+    # converts the cotangent BEFORE the scatter), and what the dynamic
+    # merged path already gets. Scattering in the f32 cotangent dtype
+    # doubled the static backward's scatter traffic for a precision the
+    # parameters never see (the result is cast to table dtype below anyway)
+    # — measured 5 x 4.8 ms f32 o0 scatters at 300^3 (PERF.md §13). The
+    # csum/pallas routes keep the f32 cotangent: f32 accumulation is their
+    # documented property.
+    ct_scatter = ct.astype(table.dtype) if impl in ("auto", "xla") else ct
+    ct_table = coalesce_table_grad(rows, w4, ct_scatter, table.shape[0], impl=impl)
     return ct_table.astype(table.dtype), None, ct_w4
 
 
