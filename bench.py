@@ -56,11 +56,12 @@ T, H, W = 12, 270, 480
 BATCH = 1024
 
 
-def _args(n_voxel: int, bf16: bool = False):
+def _args(n_voxel: int, bf16: bool = False, grad_accum: int = 0):
     from rodynrf_tpu.train import parse_cmd
 
     return parse_cmd(
         f"--bf16 {1 if bf16 else 0} "
+        f"--grad_accum {grad_accum} "
         f"--expname bench --datadir none --dataset_name synthetic "
         f"--n_iters 100000 --batch_size {BATCH} --N_voxel_t {T} "
         f"--N_voxel_init {n_voxel} --N_voxel_final {n_voxel} "
@@ -77,7 +78,8 @@ def _args(n_voxel: int, bf16: bool = False):
     )
 
 
-def measure_train(scene, n_voxel: int, warmup: int, iters: int, bf16: bool = False):
+def measure_train(scene, n_voxel: int, warmup: int, iters: int, bf16: bool = False,
+                  grad_accum: int = 0):
     """Honest step timing: enqueue the chain, then FETCH the last loss.
 
     On tunneled TPU attachments `block_until_ready` can return before
@@ -88,7 +90,7 @@ def measure_train(scene, n_voxel: int, warmup: int, iters: int, bf16: bool = Fal
     """
     from rodynrf_tpu.train import Trainer
 
-    trainer = Trainer(_args(n_voxel, bf16=bf16), scene)
+    trainer = Trainer(_args(n_voxel, bf16=bf16, grad_accum=grad_accum), scene)
     for _ in range(warmup):
         m = trainer.run_step()
     float(m["total_loss"])
@@ -217,27 +219,60 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", 5))
     iters = int(os.environ.get("BENCH_ITERS", 30))
 
-    # headline: 300^3 steady state (the schedule's final resolution, where
-    # >75% of the reference's 100k iterations run) in the PRODUCTION
-    # configuration — bf16 gather tables, the repo default (--bf16 1)
-    sps_300_bf16, trainer_300 = measure_train(scene, 300 ** 3, warmup, iters, bf16=True)
-    render_rays_bf16_dense = measure_render(trainer_300, scene, bf16=True)
-    render_rays = measure_render(trainer_300, scene)
-    # production eval configuration: converged-scene occupancy mask +
-    # compacted early-out (--compact_eval 1, the default); falls back to the
-    # dense number when the mask artifact is absent
-    render_rays_bf16_masked = measure_render(trainer_300, scene, bf16=True, masked=True)
+    # Buffer-lifetime discipline (round-4 postmortem, VERDICT r4 item 1):
+    # the f32-300^3 step alone peaks ~15 GB of HLO temps — a lingering
+    # previous trainer's packed tables/opt state or a cached render
+    # executable OOMs the 16 GB chip. Each config runs inside a function so
+    # its trainer and jitted closures die on return, then gc + clear_caches
+    # drops the executables (the persistent compile cache keeps recompiles
+    # cheap). Same fix as scripts/perf_tpu.py:104-109, applied here.
+    def _drop_buffers():
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
+    def _config_300_bf16():
+        # headline: 300^3 steady state (the schedule's final resolution,
+        # where >75% of the reference's 100k iterations run) in the
+        # PRODUCTION configuration — bf16 gather tables (--bf16 1 default)
+        sps, trainer = measure_train(scene, 300 ** 3, warmup, iters, bf16=True)
+        bf16_dense = measure_render(trainer, scene, bf16=True)
+        f32_dense = measure_render(trainer, scene)
+        # production eval configuration: converged-scene occupancy mask +
+        # compacted early-out (--compact_eval 1, the default); falls back to
+        # the dense number when the mask artifact is absent
+        bf16_masked = measure_render(trainer, scene, bf16=True, masked=True)
+        info = {"n_samples": trainer.n_samples,
+                "grid": list(trainer.static_cfg.grid_size)}
+        return sps, bf16_dense, f32_dense, bf16_masked, info
+
+    def _config_sps(n_voxel, bf16, grad_accum=0):
+        sps, _trainer = measure_train(
+            scene, n_voxel, warmup, iters, bf16=bf16, grad_accum=grad_accum
+        )
+        return sps
+
+    (sps_300_bf16, render_rays_bf16_dense, render_rays,
+     render_rays_bf16_masked, info_300) = _config_300_bf16()
     render_rays_bf16 = (
         render_rays_bf16_masked
         if render_rays_bf16_masked is not None
         else render_rays_bf16_dense
     )
-    # f32 bit-parity mode (--bf16 0), for comparison
-    sps_300_f32, _ = measure_train(scene, 300 ** 3, warmup, iters, bf16=False)
-
+    _drop_buffers()
+    # f32 bit-parity mode (--bf16 0), for comparison. grad_accum=2: the f32
+    # 300^3 step's program alone needs 15.40 GB of HBM at HEAD (measured:
+    # OOM by 2.07 MB with NOTHING else resident) — two scan-accumulated
+    # micro-batches bound live memory structurally with identical gradient
+    # math (make_train_step docstring); recorded in the JSON below
+    sps_300_f32 = _config_sps(300 ** 3, False, grad_accum=2)
+    _drop_buffers()
     # anchor config: identical shapes to the measured reference run (f32,
     # like the torch reference)
-    sps_128, trainer_128 = measure_train(scene, 128 ** 3, warmup, iters, bf16=False)
+    sps_128 = _config_sps(128 ** 3, False)
+    _drop_buffers()
 
     rays_300 = sps_300_bf16 * BATCH
     rays_128 = sps_128 * BATCH
@@ -248,8 +283,9 @@ def main():
     # eager-torch-on-A100 estimate used since round 1
     vs_baseline = rays_300 / REF_RAYS_PER_SEC_A100_ESTIMATE
     note = (
-        "vs estimated PyTorch reference on A100 (3500 rays/s, unmeasured; "
-        "the reference publishes no throughput numbers)"
+        "vs estimated PyTorch reference on A100 (3500 rays/s = measured "
+        "68 rays/s same-workload CPU anchor x ~51 eager A100/CPU factor, "
+        "uncertainty band [1.4k, 6.8k]; derivation: BASELINE.md v2)"
     )
     result = {
         "metric": "train_rays_per_sec_per_chip",
@@ -258,13 +294,14 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "steps_per_sec": round(sps_300_bf16, 3),
         "rays_per_sec_f32": round(sps_300_f32 * BATCH, 1),
+        "f32_grad_accum": 2,
         "render_rays_per_sec": round(render_rays, 1),
         "render_rays_per_sec_bf16": round(render_rays_bf16, 1),
         "render_rays_per_sec_bf16_dense": round(render_rays_bf16_dense, 1),
         "render_masked": render_rays_bf16_masked is not None,
         "batch_size": BATCH,
-        "n_samples": trainer_300.n_samples,
-        "grid": list(trainer_300.static_cfg.grid_size),
+        "n_samples": info_300["n_samples"],
+        "grid": info_300["grid"],
         "device": device,
         "anchor_rays_per_sec_128": round(rays_128, 1),
         "vs_ref_same_workload_cpu": (

@@ -40,6 +40,60 @@ class AlphaGridMask(NamedTuple):
         return jnp.take_along_axis(vals, t_int[:, None], axis=1)[:, 0]
 
 
+def dilate_occupancy(alpha_volume: jnp.ndarray) -> jnp.ndarray:
+    """One extra spatial 3^3 max-pool over a {0,1} [D, H, W, T] volume.
+
+    Pre-dilation makes the single-gather nearest-voxel test below a SUPERSET
+    of the reference's trilinear>0 test on the original volume: trilinear>0
+    at x means some corner c of x's enclosing cell is occupied; the nearest
+    voxel n is also a corner of that cell, so |n - c| <= 1 per axis and the
+    dilated volume has vol_d[n] >= vol[c] = 1. Asserted by
+    tests/test_compact_train.py::test_nearest_occupancy_superset."""
+    return (max_pool3d_same(alpha_volume.astype(jnp.float32), 3) > 0.5).astype(
+        jnp.uint8
+    )
+
+
+def occupancy_nearest(
+    alpha_volume: jnp.ndarray, mask_aabb: jnp.ndarray, xyz: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """Nearest-voxel occupancy bit at (xyz, t): ONE gathered byte per sample.
+
+    The train step's occupancy test runs at [R*S] scale for ~7 pass
+    geometries per iteration; TPU takes serialize per INDEX (~50-76 Midx/s
+    regardless of row width, PERF.md §1/§13), so the 8-corner trilinear test
+    costs 8x this one. Soundness comes from pre-dilation (dilate_occupancy):
+    on the dilated volume this keeps a superset of the samples the
+    reference's trilinear early-out would keep (tensorBase.py:56-73) —
+    extra kept samples contribute their true field values, never an
+    approximation. Out-of-aabb samples test unoccupied (the trilinear
+    zero-padding contract).
+
+    alpha_volume: [D, H, W, T] uint8 (pre-dilated); xyz [N, 3] world;
+    t [N] in [-1, 1]. Returns bool [N].
+    """
+    D, H, W, T = alpha_volume.shape
+    xyz_n = normalize_coord(xyz, mask_aabb)
+
+    def near(u, n):
+        # support matches the zero-padded trilinear's: g in (-1, n) can still
+        # touch an in-bounds corner with nonzero weight (sample_grid3d's
+        # per-corner masks); the clipped-round nearest voxel is then within
+        # one cell of every such corner, which the pre-dilation covers
+        g = (u + 1.0) * 0.5 * (n - 1)
+        i = jnp.clip(jnp.round(g), 0, n - 1).astype(jnp.int32)
+        return i, (g > -1.0) & (g < float(n))
+
+    gx, ibx = near(xyz_n[:, 0], W)
+    gy, iby = near(xyz_n[:, 1], H)
+    gz, ibz = near(xyz_n[:, 2], D)
+    inb = ibx & iby & ibz
+    t_int = jnp.clip(jnp.round((t + 1.0) / 2.0 * (T - 1)).astype(jnp.int32), 0, T - 1)
+    idx = ((gz * H + gy) * W + gx) * T + t_int
+    v = alpha_volume.reshape(-1).at[idx].get(mode="promise_in_bounds")
+    return (v > 0) & inb
+
+
 def max_pool3d_same(vol: jnp.ndarray, k: int = 3) -> jnp.ndarray:
     """3D max pool, stride 1, same padding, over [D, H, W, T]
     (reference: tensorBase.py:599-600 F.max_pool3d(ks=3, pad=1, stride=1))."""

@@ -211,6 +211,24 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         help="path to a packed occupancy mask .npz "
                         "(scripts/export_alpha.py) to use for eval/render "
                         "early-out; overrides any checkpoint-embedded mask")
+    parser.add_argument("--compact_train", type=int, default=0,
+                        help="TRAIN-time occupancy compaction: once "
+                        "update_AlphaMask_list fires, mask each pass's "
+                        "samples with the occupancy grid and compact them to "
+                        "a per-ray [R, K] bucket before the field evals "
+                        "(K sized by a measured probe). Deviates from the "
+                        "reference, whose mask flag is dead (opt.py:211): "
+                        "sub-threshold samples are treated as empty during "
+                        "training — exact vs the dense-masked step while "
+                        "every ray's occupied count <= K "
+                        "(tests/test_compact_train.py). 0 = off (default)")
+    parser.add_argument("--compact_quantile", type=float, default=0.995,
+                        help="per-ray occupancy quantile sizing the train "
+                        "compaction bucket K (Trainer._probe_compact_k): "
+                        "occupancy is heavily skewed (measured mean 37 / "
+                        "max 199 of 270), so max-based K forfeits the win "
+                        "to a sliver of long rays; rays above K drop their "
+                        "farthest occupied samples. 1.0 = exact max")
 
     cmd = list(cmd) if cmd is not None else None
     # pre-pass: expand --config file into defaults, CLI overrides win

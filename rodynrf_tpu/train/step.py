@@ -133,6 +133,28 @@ class StepStatics:
     # with NaN instead of zeros, so an accidental read poisons the loss
     # instead of silently training on zeros (see _partial_outputs)
     debug_nan_fill: bool = False
+    # train-time occupancy mask: AND each pass's ray_valid with the
+    # AlphaGridMask occupancy bit at (sample, t) — the reference's early-out
+    # contract (tensorBase.py:591-629, 745-765) applied to TRAINING, which
+    # the reference itself never does (its update_AlphaMask_list flag is
+    # parsed but dead, opt.py:211). The mask volume rides in `data`
+    # ("alpha_volume" [D,H,W,T] uint8, "alpha_aabb" [2,3]) so it crosses the
+    # jit boundary as a device buffer, never as an HLO constant. Passes
+    # sharing one sample set (A/B/E under share_forward) use the UNION of
+    # their per-time occupancies, keeping the cross-pass static-eval sharing
+    # exact (a superset of per-pass masking: strictly closer to the unmasked
+    # reference). Off by default; activated by the trainer once
+    # update_AlphaMask_list fires (--compact_train).
+    use_alpha_mask: bool = False
+    # with use_alpha_mask: compact each pass's samples to its per-ray [R, K]
+    # occupied bucket (K static) before the field evaluations — the eval
+    # renderer's [R, K] early-out (render/renderer.py:129-164) applied to the
+    # train step. EXACT vs the dense-masked step whenever every ray's
+    # occupied count <= K (masked samples carry sigma = blending = rgb = 0
+    # through the compositor; tests/test_compact_train.py); rays beyond K
+    # drop their FARTHEST occupied samples. The trainer sizes K from a
+    # measured occupancy probe (Trainer._probe_compact_k). 0 = dense.
+    compact_k: int = 0
     # data-parallel mesh: when set, the ray batch's partitioning is asserted
     # with sharding constraints instead of relying on GSPMD inference. The
     # trainer guarantees the batch divides this mesh (non-divisible batches
@@ -231,6 +253,58 @@ def _partial_outputs(R: int, nS: int, debug_nan: bool = False, **filled) -> Rend
     return RenderOutputs(**defaults)
 
 
+def _unpack_samp(samp):
+    """samp is (xyz, z_vals, valid) or, with train-time compaction,
+    (xyz, z_vals, valid, dists) — compacted z_vals cannot reproduce the
+    dense consecutive-z dists, so they ride precomputed (render/renderer.py
+    uses the same convention)."""
+    if len(samp) == 4:
+        return samp
+    xyz, z_vals, valid = samp
+    return xyz, z_vals, valid, None
+
+
+def _occupancy(data, xyz, ts, valid):
+    """valid & alpha-mask occupancy at each (sample, time) — the reference's
+    early-out (tensorBase.py:745-765) as a where-mask. Selection only: the
+    mask query runs on detached positions (a boolean carries no gradient in
+    the reference either). ONE gathered byte per sample: data["alpha_volume"]
+    is pre-dilated so the nearest-voxel test keeps a superset of the
+    reference's 8-corner trilinear>0 (fields/alpha_mask.occupancy_nearest)."""
+    from ..fields.alpha_mask import occupancy_nearest
+
+    R, S_ = valid.shape
+    t_flat = jnp.broadcast_to(ts[:, None], (R, S_)).reshape(-1)
+    occ = occupancy_nearest(
+        data["alpha_volume"], data["alpha_aabb"], sg(xyz).reshape(-1, 3), t_flat
+    ).reshape(R, S_)
+    return valid & occ
+
+
+def _compact_samp(xyz, z_vals, occ, rays, ray_type, K: int):
+    """Per-ray [R, K] occupied bucket (the eval compactor's selection,
+    render/renderer.py:129-148): valid-first stable order preserves ascending
+    z among kept samples (transmittance order); dropped slots carry keep=0 ->
+    sigma = blending = rgb = 0. Returns ((xyz_c, z_c, keep, dists_c), idx);
+    dists are the DENSE consecutive-z intervals gathered at idx.
+
+    Index-floor discipline (PERF.md §1: takes serialize per index): xyz, z,
+    and dists ride ONE packed [R, S, 5] take (one gather forward, one
+    scatter in the transpose) instead of three, and `keep` needs no gather
+    at all — valid-first ordering makes it arange(K) < occupied_count."""
+    from ..render.pipeline import _dists_and_viewdirs
+
+    dists, _ = _dists_and_viewdirs(rays, z_vals, ray_type)
+    order = jnp.argsort(jnp.logical_not(occ), axis=1, stable=True)
+    idx = order[:, :K]
+    count = jnp.sum(occ.astype(jnp.int32), axis=1)
+    keep = jnp.arange(K, dtype=jnp.int32)[None, :] < count[:, None]
+    packed = jnp.concatenate([xyz, z_vals[..., None], dists[..., None]], axis=-1)
+    pk = jnp.take_along_axis(packed, idx[..., None], axis=1)
+    samp = (pk[..., :3], pk[..., 3], keep, pk[..., 4])
+    return samp, idx
+
+
 def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st=None):
     """Sampler + static field + dynamic field + dual compositor for one ray set.
 
@@ -249,23 +323,24 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st
     packed_st, packed_dn = packs if packs is not None else (None, None)
     rays, ts = sp.rays, sp.ts
     if sp.samp is not None:
-        xyz, z_vals, ray_valid = sp.samp
+        xyz, z_vals, ray_valid, dists_pre = _unpack_samp(sp.samp)
     else:
         xyz, z_vals, ray_valid = sample_xyz(
             rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb, S.step_size,
             sp.k_samp, det_jitter=S.golden_det,
         )
+        dists_pre = None
 
-    def run_static(p, rays_, xyz_, packed_):
+    def run_static(p, rays_, xyz_, packed_, dists_):
         return eval_static_field(
             p, S.static_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type,
-            packed=packed_,
+            packed=packed_, dists=dists_,
         )
 
-    def run_dynamic(p, rays_, xyz_, packed_):
+    def run_dynamic(p, rays_, xyz_, packed_, dists_):
         return eval_dynamic_field(
             p, S.dynamic_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type,
-            packed=packed_,
+            packed=packed_, dists=dists_,
         )
 
     if S.remat:
@@ -277,7 +352,7 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st
     if sp.mode == "dyn":
         # losses of this pass consume only weights_d + the sampler's points
         # (reference train.py:1431-1625): the static eval never runs
-        dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn)
+        dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn, dists_pre)
         out = _partial_outputs(
             R, nS, S.debug_nan_fill,
             weights_d=dynamic_side_weights(dn.sigma, dn.dists),
@@ -293,10 +368,11 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st
         st = jax.tree_util.tree_map(sg, shared_st)
     elif sp.detach_static:
         st = run_static(sg(params["static"]), sg(rays), sg(xyz),
-                        jax.tree_util.tree_map(sg, packed_st))
+                        jax.tree_util.tree_map(sg, packed_st),
+                        None if dists_pre is None else sg(dists_pre))
         st = jax.tree_util.tree_map(sg, st)
     else:
-        st = run_static(params["static"], rays, xyz, packed_st)
+        st = run_static(params["static"], rays, xyz, packed_st, dists_pre)
 
     if sp.mode == "stat":
         return None, st, None, z_vals
@@ -315,7 +391,7 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st
         )
         return out, st, None, z_vals
 
-    dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn)
+    dn = run_dynamic(params["dynamic"], rays, xyz, packed_dn, dists_pre)
 
     out = raw2outputs(
         st.rgb, st.sigma, dn.rgb, dn.sigma, dn.dists, dn.blending, dn.z_vals, rays,
@@ -374,14 +450,16 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
     )
 
     # per-pass sampling (keeps each pass's jitter key; shared-geometry passes
-    # carry their precomputed samp)
+    # carry their precomputed samp); entries normalized to (xyz, z, valid,
+    # dists-or-None) — see _unpack_samp
     samp = {
-        n: specs[n].samp
+        n: _unpack_samp(specs[n].samp)
         if specs[n].samp is not None
         else sample_xyz(
             specs[n].rays, S.n_samples, S.ray_type, S.static_cfg.near_far, aabb,
             S.step_size, specs[n].k_samp, det_jitter=S.golden_det,
         )
+        + (None,)
         for n in names
     }
     R = {n: specs[n].rays.shape[0] for n in names}
@@ -403,18 +481,22 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         xyz = _shard_rows(_cat([samp[n][0] for n in group]))
         zv = _shard_rows(_cat([samp[n][1] for n in group]))
         rv = _shard_rows(_cat([samp[n][2] for n in group]))
-        return rays, ts, xyz, zv, rv
+        # precomputed dists are all-or-nothing (train-time compaction sets
+        # them for every pass, the dense path for none)
+        ds = [samp[n][3] for n in group]
+        dv = None if ds[0] is None else _shard_rows(_cat(ds))
+        return rays, ts, xyz, zv, rv, dv
 
-    def run_static(p, rays_, ts_, xyz_, zv_, rv_, packed_):
+    def run_static(p, rays_, ts_, xyz_, zv_, rv_, packed_, dists_):
         return eval_static_field(
             p, S.static_cfg, aabb, rays_, ts_, xyz_, zv_, rv_, S.ray_type,
-            packed=packed_,
+            packed=packed_, dists=dists_,
         )
 
-    def run_dynamic(p, rays_, ts_, xyz_, zv_, rv_, packed_):
+    def run_dynamic(p, rays_, ts_, xyz_, zv_, rv_, packed_, dists_):
         return eval_dynamic_field(
             p, S.dynamic_cfg, aabb, rays_, ts_, xyz_, zv_, rv_, S.ray_type,
-            packed=packed_,
+            packed=packed_, dists=dists_,
         )
 
     if S.remat:
@@ -442,9 +524,12 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
             # rematted backward), keeping all chunks' gathered-row blocks
             # live at once — exactly the memory chunking exists to bound
             # (measured: 15.4-16.9 GB HLO temps, OOM, at 300^3 bf16)
-            *gb, _ = jax.lax.optimization_barrier((*g, dep))
-            g = tuple(gb)
-        ev = run_dynamic(params["dynamic"], g[0], g[1], g[2], g[3], g[4], packed_dn)
+            garrs = g[:5] if g[5] is None else g
+            *gb, _ = jax.lax.optimization_barrier((*garrs, dep))
+            g = tuple(gb) + ((None,) if g[5] is None else ())
+        ev = run_dynamic(
+            params["dynamic"], g[0], g[1], g[2], g[3], g[4], packed_dn, g[5]
+        )
         dep = ev.sigma
         dn_parts.append(ev)
     dn_all = (
@@ -460,13 +545,16 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         st_det = run_static(
             sg(params["static"]), sg(g[0]), g[1], sg(g[2]), g[3], g[4],
             jax.tree_util.tree_map(sg, packed_st),
+            None if g[5] is None else sg(g[5]),
         )
         st_det = jax.tree_util.tree_map(sg, st_det)
         st_parts.append((det_names, st_det))
     # static, grad-carrying group (E/F/G duals + FF/BB static-only)
     if grad_names:
         g = group_inputs(grad_names)
-        st_grad = run_static(params["static"], g[0], g[1], g[2], g[3], g[4], packed_st)
+        st_grad = run_static(
+            params["static"], g[0], g[1], g[2], g[3], g[4], packed_st, g[5]
+        )
         st_parts.append((grad_names, st_grad))
 
     # split static evals per pass
@@ -572,10 +660,16 @@ def _run_passes(params, S: StepStatics, aabb, specs, packs):
         sp = specs[n]
         if dep is not None and S.remat:
             if sp.samp is not None:
-                xyz_b, zv_b, rv_b, rays_b, ts_b, _ = jax.lax.optimization_barrier(
-                    (*sp.samp, sp.rays, sp.ts, dep)
+                # samp is a 3- or 4-tuple (see _unpack_samp); a None dists
+                # entry stays outside the barrier (barriers carry arrays)
+                samp_arrs = tuple(a for a in sp.samp if a is not None)
+                *flat, _ = jax.lax.optimization_barrier(
+                    (*samp_arrs, sp.rays, sp.ts, dep)
                 )
-                sp = sp._replace(rays=rays_b, ts=ts_b, samp=(xyz_b, zv_b, rv_b))
+                samp_b = tuple(flat[: len(samp_arrs)])
+                if len(samp_b) < len(sp.samp):
+                    samp_b = samp_b + (None,)
+                sp = sp._replace(rays=flat[-2], ts=flat[-1], samp=samp_b)
             else:
                 rays_b, ts_b, _ = jax.lax.optimization_barrier((sp.rays, sp.ts, dep))
                 sp = sp._replace(rays=rays_b, ts=ts_b)
@@ -730,6 +824,57 @@ def train_loss(
         specs["FF"] = PassSpec(rays_f_nd, ts_train, k5a, None, False, "stat")
         specs["BB"] = PassSpec(rays_b_nd, ts_train, k5b, None, False, "stat")
 
+    # -------- train-time occupancy mask (+ optional [R, K] compaction) ----
+    # (StepStatics.use_alpha_mask / compact_k docstrings; the trainer turns
+    # these on once update_AlphaMask_list fires with --compact_train)
+    sf_pts_dense = None  # pass A's dense pre-compaction points + selection —
+    sf_idx = None        # the scene-flow regularizers keep the dense domain
+    if S.use_alpha_mask:
+        K = S.compact_k
+        done = set()
+        if S.share_forward:
+            # shared train-ray geometry: ONE selection for A/B/E from the
+            # union of their per-time occupancies (keeps A/B's reuse of E's
+            # static eval exact; a superset of per-pass masking)
+            xyz_sh, z_sh, valid_sh = samp_live
+            occ_u = _occupancy(data, xyz_sh, ts_train, valid_sh) | _occupancy(
+                data, xyz_sh, ts_rand, valid_sh
+            )
+            if K > 0:
+                samp_m, idx_sh = _compact_samp(
+                    xyz_sh, z_sh, occ_u, rays_train, S.ray_type, K
+                )
+                sf_pts_dense, sf_idx = sg(xyz_sh), idx_sh
+            else:
+                samp_m = (xyz_sh, z_sh, occ_u)
+            specs["E"] = specs["E"]._replace(samp=samp_m)
+            samp_m_det = jax.tree_util.tree_map(sg, samp_m)
+            specs["A"] = specs["A"]._replace(samp=samp_m_det)
+            specs["B"] = specs["B"]._replace(samp=samp_m_det)
+            done |= {"A", "B", "E"}
+        for n in list(specs):
+            if n in done:
+                continue
+            sp = specs[n]
+            xyz_p, z_p, v_p = (
+                sp.samp
+                if sp.samp is not None
+                else sample_xyz(
+                    sp.rays, S.n_samples, S.ray_type, S.static_cfg.near_far,
+                    aabb, S.step_size, sp.k_samp, det_jitter=S.golden_det,
+                )
+            )
+            occ_p = _occupancy(data, xyz_p, sp.ts, v_p)
+            if K > 0:
+                samp_m, idx_p = _compact_samp(
+                    xyz_p, z_p, occ_p, sp.rays, S.ray_type, K
+                )
+                if n == "A":  # share_forward off: A owns its geometry
+                    sf_pts_dense, sf_idx = xyz_p, idx_p
+            else:
+                samp_m = (xyz_p, z_p, occ_p)
+            specs[n] = sp._replace(samp=samp_m)
+
     res = _run_passes(params, S, aabb, specs, packs)
     outA, stA, dnA, _ = res["A"]
     outB, stB, dnB, _ = res["B"]
@@ -748,17 +893,31 @@ def train_loss(
     total += novel_order * 10.0
     metrics["novel_order_loss"] = novel_order
 
-    # novel-time distortion (train.py:1299-1311)
+    # novel-time distortion (train.py:1299-1311); the 1/nS interval is the
+    # DENSE sampler spacing (reference passes 1/nSamples) — under compaction
+    # the weights axis is K but the spacing is unchanged
     if wts.distortion_dynamic > 0:
-        nS = outB.weights_d.shape[1]
-        dist_rand = eff_distloss(outB.weights_d, sg(dnB.z_vals), 1.0 / nS)
+        dist_rand = eff_distloss(outB.weights_d, sg(dnB.z_vals), 1.0 / S.n_samples)
         total += dist_rand * wts.distortion_dynamic * (it / S.n_iters)
         metrics["loss_distortion_rand"] = dist_rand
 
-    # scene flow at pass-A sample points (train.py:1319-1321)
-    scene_flow_f, scene_flow_b = dyn_field.scene_flow(
-        params["dynamic"], dnA.pts_ref, ts_train, aabb
-    )
+    # scene flow at pass-A sample points (train.py:1319-1321). Under
+    # compaction the REGULARIZERS (small/smooth, below) keep the reference's
+    # dense domain — the flow MLP is cheap, and evaluating it at all S dense
+    # points keeps those losses identical to the dense(-masked) step; only
+    # the kept-sample subset feeds the induced flows (it must align with the
+    # compacted weights_d)
+    if sf_idx is not None:
+        sf_reg_f, sf_reg_b = dyn_field.scene_flow(
+            params["dynamic"], sf_pts_dense, ts_train, aabb
+        )
+        scene_flow_f = jnp.take_along_axis(sf_reg_f, sf_idx[..., None], axis=1)
+        scene_flow_b = jnp.take_along_axis(sf_reg_b, sf_idx[..., None], axis=1)
+    else:
+        scene_flow_f, scene_flow_b = dyn_field.scene_flow(
+            params["dynamic"], dnA.pts_ref, ts_train, aabb
+        )
+        sf_reg_f, sf_reg_b = scene_flow_f, scene_flow_b
 
     # RGB losses (train.py:1323-1335)
     img_loss = L.mse(outA.rgb_full, rgb_train)
@@ -803,8 +962,8 @@ def train_loss(
     metrics["flow_f_loss"] = flow_f_loss
     metrics["flow_b_loss"] = flow_b_loss
 
-    # small scene flow (train.py:1421-1429)
-    small_sf = jnp.mean(jnp.abs(scene_flow_f)) + jnp.mean(jnp.abs(scene_flow_b))
+    # small scene flow (train.py:1421-1429) — dense domain (see above)
+    small_sf = jnp.mean(jnp.abs(sf_reg_f)) + jnp.mean(jnp.abs(sf_reg_b))
     total += wts.small_scene_flow * small_sf
     metrics["small_scene_flow_loss"] = small_sf
 
@@ -825,8 +984,8 @@ def train_loss(
     total += 0.04 * disp_b_loss * Temp
     metrics["disp_b_loss"] = disp_b_loss
 
-    # smooth scene flow (train.py:1627-1633)
-    smooth_sf = jnp.mean(jnp.abs(scene_flow_f + scene_flow_b))
+    # smooth scene flow (train.py:1627-1633) — dense domain (see above)
+    smooth_sf = jnp.mean(jnp.abs(sf_reg_f + sf_reg_b))
     total += wts.smooth_scene_flow * smooth_sf
     metrics["smooth_scene_flow_loss"] = smooth_sf
 
@@ -844,9 +1003,9 @@ def train_loss(
     total += order * 10.0
     metrics["order_loss"] = order
 
-    # dynamic distortion over A/C/D (train.py:1685-1711)
+    # dynamic distortion over A/C/D (train.py:1685-1711); dense 1/nS spacing
     if wts.distortion_dynamic > 0:
-        nS = outA.weights_d.shape[1]
+        nS = S.n_samples
         dist = (
             eff_distloss(outA.weights_d, sg(dnA.z_vals), 1.0 / nS)
             + eff_distloss(outC.weights_d, sg(dnC.z_vals), 1.0 / nS)
@@ -886,10 +1045,9 @@ def train_loss(
     total += 1.0 * img_s_loss
     metrics["img_s_loss"] = img_s_loss
 
-    # static distortion (train.py:1841-1856)
+    # static distortion (train.py:1841-1856); dense 1/nS spacing
     if wts.distortion_static > 0:
-        nS = outE.weights_s.shape[1]
-        dist_s = eff_distloss(outE.weights_s, z_vals_E, 1.0 / nS)
+        dist_s = eff_distloss(outE.weights_s, z_vals_E, 1.0 / S.n_samples)
         total += dist_s * wts.distortion_static * (it / S.n_iters)
         metrics["loss_distortion_static"] = dist_s
 

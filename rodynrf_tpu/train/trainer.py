@@ -156,14 +156,20 @@ class Trainer:
         self.metrics_history = []
         # occupancy mask built at update_AlphaMask_list iterations (the
         # reference PARSES this flag but never reads it, opt.py:211 — here
-        # it is functional); used by eval/render early-out, never by the
-        # train step, and persisted in checkpoints
+        # it is functional); feeds the eval/render early-out and — with
+        # --compact_train — the train step's [R, K] sample compaction
+        # (StepStatics.use_alpha_mask/compact_k); persisted in checkpoints
         self.alpha_mask = None
+        # train-time compaction: per-ray occupied-bucket size (0 = dense);
+        # sized by _probe_compact_k once update_alpha_mask fires
+        self.compact_k = 0
         # golden-comparison hook: callable(iteration) -> (ray_idx, ray_idx_rand)
         # replacing the permutation samplers with an externally recorded stream
         self.sampler_override = None
         if getattr(args, "ckpt", None):
             self._resume(args.ckpt)
+            if self.alpha_mask is not None and bool(getattr(args, "compact_train", 0)):
+                self._enable_train_compaction()
         self._refresh_app_frac()
         self._build_step()
 
@@ -216,7 +222,11 @@ class Trainer:
 
         from .checkpoints import load_checkpoint
 
-        params, static_cfg, dynamic_cfg, aabb, extra = load_checkpoint(ckpt_path)
+        params, static_cfg, dynamic_cfg, aabb, extra, alpha_mask = load_checkpoint(
+            ckpt_path, return_alpha=True
+        )
+        if alpha_mask is not None:
+            self.alpha_mask = alpha_mask
         full = bool(extra.get("full_state"))
         tree = params if not full else params["params"]
         self.params = jax.tree_util.tree_map(jnp.asarray, tree)
@@ -292,6 +302,8 @@ class Trainer:
             pass_chunk=self._pass_chunk(),
             grad_accum=self._grad_accum(),
             share_forward=bool(getattr(a, "share_forward", 1)),
+            use_alpha_mask=self.compact_k > 0,
+            compact_k=self.compact_k,
         )
 
     def _grad_accum(self) -> int:
@@ -313,8 +325,9 @@ class Trainer:
         """(per-pass dynamic-eval gathered-row bytes, per-pass static) —
         the dominant HBM temps: 12 corner rows (3 orientations x 4 corners)
         x packed channels per sample, density+blending dense, appearance
-        scaled by the compaction top-K fraction."""
-        S = self.n_samples
+        scaled by the compaction top-K fraction. Uses the EFFECTIVE per-ray
+        sample count (compact_k when train-time compaction is active)."""
+        S = self.compact_k if self.compact_k else self.n_samples
         B = int(self.args.batch_size)
         dt = 2 if self.dynamic_cfg.grid_sample_dtype == "bfloat16" else 4
         k = self.dynamic_cfg.app_topk(S)
@@ -450,7 +463,9 @@ class Trainer:
         """Rebuild the dual-field occupancy mask at the current params
         (reference updateAlphaMask contract, tensorBase.py:591-629; dual-max
         semantics fields/alpha_mask.build_dual_alpha_mask). Called by the
-        train.py loop at update_AlphaMask_list iterations."""
+        train.py loop at update_AlphaMask_list iterations. With
+        --compact_train, also (re)sizes and enables the train step's [R, K]
+        sample compaction against the fresh mask."""
         from ..fields.alpha_mask import build_dual_alpha_mask
 
         params = {"static": self.params["static"], "dynamic": self.params["dynamic"]}
@@ -461,7 +476,108 @@ class Trainer:
         occ = float(np.asarray(self.alpha_mask.alpha_volume).mean())
         print(f"alpha mask updated: grid {self.alpha_mask.alpha_volume.shape} "
               f"occupancy {occ:.3f}")
+        if bool(getattr(self.args, "compact_train", 0)):
+            self._enable_train_compaction()
         return occ
+
+    def _probe_compact_k(self, stride: int = 3, margin: float = 1.1,
+                         quantum: int = 16) -> int:
+        """Size the train step's per-ray occupied bucket from the measured
+        occupancy DISTRIBUTION over a strided probe of every frame's pixel
+        grid at the CURRENT cameras.
+
+        Per-ray occupancy is heavily skewed (measured at the converged
+        no_poses mask: mean 37, p99.5 ~2-4x the mean, max 199 of 270) — a
+        max-based K forfeits most of the win to a sliver of long rays, so K
+        = quantile(counts, --compact_quantile, default 0.995) x margin
+        (sampler jitter moves samples by up to one bin; poses drift until
+        the next mask refresh), rounded up to `quantum` (compile-cache
+        friendly). Rays above K drop their FARTHEST occupied samples
+        (occluded-most-first; exactness for >=quantile of rays, quality
+        gated by the --compact_train long run, QUALITY.md)."""
+        from ..fields.alpha_mask import occupancy_nearest
+        from ..render.sampling import sample_xyz
+        from ..core.se3 import pose_to_mtx
+        from .step import _rays_from_idx, focal_from_fov
+
+        mask, H, W = self.alpha_mask, self.H, self.W
+        T = self.args.N_voxel_t
+        S = self._statics()
+        vol_d = self._dilated_volume()
+        uu, vv = np.meshgrid(np.arange(0, W, stride), np.arange(0, H, stride))
+        pix = np.ascontiguousarray((vv * W + uu).reshape(-1).astype(np.int64))
+
+        @jax.jit
+        def probe(params, ray_idx, ts):
+            if S.optimize_focal:
+                focal = focal_from_fov(params["fov"][0, 0], H, W)
+            else:
+                focal = jnp.asarray(self.focal_fixed, jnp.float32)
+            rays, _, _, _ = _rays_from_idx(ray_idx, pose_to_mtx(params["pose"]), focal, S)
+            xyz, _, valid = sample_xyz(
+                rays, self.n_samples, S.ray_type, S.static_cfg.near_far,
+                self.aabb, S.step_size, None,
+            )
+            R_, S_ = valid.shape
+            t_flat = jnp.broadcast_to(ts[:, None], (R_, S_)).reshape(-1)
+            occ = occupancy_nearest(
+                vol_d, mask.aabb, xyz.reshape(-1, 3), t_flat
+            ).reshape(R_, S_)
+            return jnp.sum((valid & occ).astype(jnp.int32), axis=1)
+
+        counts = np.concatenate([
+            np.asarray(probe(self.params, jnp.asarray(t * H * W + pix),
+                             self.data["ts"][jnp.asarray(t * H * W + pix)]))
+            for t in range(T)
+        ])
+        q = float(getattr(self.args, "compact_quantile", 0.995))
+        c_q = float(np.quantile(counts, min(max(q, 0.0), 1.0)))
+        K = int(-(-c_q * margin // quantum) * quantum)
+        K = min(max(K, quantum), self.n_samples)
+        print(f"compaction probe: occupied mean {counts.mean():.1f} "
+              f"p{100 * q:g} {c_q:.0f} max {counts.max()} "
+              f"of {self.n_samples} samples/ray -> K={K}")
+        return K
+
+    def _dilated_volume(self):
+        """The train step's occupancy volume: the mask pre-dilated one extra
+        3^3 max-pool so the single-gather nearest-voxel test is a superset of
+        the reference's trilinear>0 early-out (fields/alpha_mask
+        .dilate_occupancy). Eval/render keep the reference-exact trilinear
+        mask; only the train path trades test sharpness for 8x fewer
+        serialized gather indices."""
+        from ..fields.alpha_mask import dilate_occupancy
+
+        return dilate_occupancy(self.alpha_mask.alpha_volume)
+
+    def _enable_train_compaction(self):
+        """Wire the fresh occupancy mask into the train step: mask volume
+        rides in `data` (a jit ARGUMENT — a closed-over volume would embed as
+        an HLO constant, see render/renderer.py), compact_k from the probe.
+        Skips (stays dense) when the probe says the bucket would not shrink
+        the sample axis by at least ~15%."""
+        K = self._probe_compact_k()
+        if K >= self.n_samples or K > 0.85 * self.n_samples:
+            if self.compact_k:
+                self.data = {k: v for k, v in self.data.items()
+                             if not k.startswith("alpha_")}
+                self.compact_k = 0
+                self._build_step()
+            print(f"train compaction disabled (K={K} of {self.n_samples})")
+            return
+        extra = {
+            "alpha_volume": self._dilated_volume(),
+            "alpha_aabb": self.alpha_mask.aabb,
+        }
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+
+            extra = jax.device_put(extra, replicated(self.mesh))
+        self.data = dict(self.data)
+        self.data.update(extra)
+        self.compact_k = K
+        self._build_step()
+        print(f"train compaction enabled: K={K} of {self.n_samples} samples/ray")
 
     def _upsample(self, iteration: int):
         """Coarse-to-fine grid growth (reference: train.py:2582-2606)."""
@@ -481,6 +597,10 @@ class Trainer:
         self.opt_state = dict(init_opt_state(self.params))
         self.opt_state["pose"] = old["pose"]
         self.opt_state["fov"] = old["fov"]
+        if self.compact_k:
+            # the bucket was sized against the OLD n_samples; re-probe the
+            # (unchanged) mask at the new sampling density
+            self._enable_train_compaction()
         self._build_step()
 
     # ------------------------------------------------------------------

@@ -72,6 +72,26 @@ def main():
     tr = Trainer(args, scene)
     print(f"trainer built {time.perf_counter()-t0:.1f}s", flush=True)
 
+    if "--compact" in sys.argv:
+        # train-time occupancy compaction against the committed
+        # converged-scene mask (38.8% occupancy at 192^3, QUALITY.md);
+        # COMPACT_K env overrides the probe's K for A/B sweeps
+        from rodynrf_tpu.fields.alpha_mask import load_alpha_npz
+
+        tr.alpha_mask = load_alpha_npz(
+            os.path.join(REPO, "golden", "out_quality", "no_poses", "alpha_mask.npz")
+        )
+        k_env = int(os.environ.get("COMPACT_K", 0))
+        if k_env:
+            tr.compact_k = k_env
+            tr.data = dict(tr.data)
+            tr.data["alpha_volume"] = tr._dilated_volume()
+            tr.data["alpha_aabb"] = tr.alpha_mask.aabb
+            tr._build_step()
+            print(f"compaction forced: K={k_env}", flush=True)
+        else:
+            tr._enable_train_compaction()
+
     t0 = time.perf_counter()
     for _ in range(3):
         m = tr.run_step()

@@ -53,17 +53,38 @@ def test_backward_matches_autodiff():
 
 
 def test_backward_bf16_table():
+    """bf16 tables accumulate their cotangent in bf16 — the deliberate
+    contract since round 4 (ops/coalesced.py:102): it matches what plain
+    autodiff of a bf16 take does (the astype transpose casts the cotangent
+    BEFORE the scatter) and what the dynamic merged path always got, and it
+    halves the static backward's scatter traffic (PERF.md §13-14).
+
+    Oracle: plain autodiff of the same math. Both sides round per-element
+    products and accumulate in bf16 (in possibly different orders), so
+    agreement is to bf16-accumulation noise — bounded relative to the
+    gradient SCALE, not per-element (near-zero entries from cancellation
+    have unbounded relative error in any finite precision)."""
     table, rows, w4, ct = _data(dtype=jnp.bfloat16)
 
-    def loss(t, w):
+    def loss_custom(t, w):
         return jnp.sum(planes_sample(t, rows, w, "xla") * ct)
 
-    gt, gw = jax.grad(loss, argnums=(0, 1))(table, w4)
+    def loss_naive(t, w):
+        return jnp.sum(_fwd_math(t, rows, w) * ct)
+
+    gt, gw = jax.grad(loss_custom, argnums=(0, 1))(table, w4)
+    gt_n, gw_n = jax.grad(loss_naive, argnums=(0, 1))(table, w4)
     assert gt.dtype == jnp.bfloat16
-    ref = _coalesce_xla(rows, w4, ct, table.shape[0])
+    a, b = np.asarray(gt, np.float32), np.asarray(gt_n, np.float32)
+    scale = float(np.abs(b).max())
+    np.testing.assert_allclose(a, b, rtol=0, atol=0.03 * scale)
     np.testing.assert_allclose(
-        np.asarray(gt, np.float32), np.asarray(ref, np.float32), rtol=0.02, atol=0.02
+        np.asarray(gw), np.asarray(gw_n), rtol=0, atol=1e-4
     )
+    # the coarser bf16 accumulation still tracks the exact f32 accumulation
+    # to a few percent of the gradient scale (hot rows here duplicate ~160x)
+    f32 = np.asarray(_coalesce_xla(rows, w4, ct, table.shape[0]))
+    np.testing.assert_allclose(a, f32, rtol=0, atol=0.05 * scale)
 
 
 def test_coalesce_xla_matches_dense():
