@@ -79,7 +79,7 @@ def _args(n_voxel: int, bf16: bool = False, grad_accum: int = 0):
 
 
 def measure_train(scene, n_voxel: int, warmup: int, iters: int, bf16: bool = False,
-                  grad_accum: int = 0):
+                  grad_accum: int = 0, compact: bool = False):
     """Honest step timing: enqueue the chain, then FETCH the last loss.
 
     On tunneled TPU attachments `block_until_ready` can return before
@@ -91,6 +91,20 @@ def measure_train(scene, n_voxel: int, warmup: int, iters: int, bf16: bool = Fal
     from rodynrf_tpu.train import Trainer
 
     trainer = Trainer(_args(n_voxel, bf16=bf16, grad_accum=grad_accum), scene)
+    if compact:
+        # train-time [R, K] occupancy compaction (--compact_train) against
+        # the committed converged-scene mask — the operating point after the
+        # first update_AlphaMask_list firing, where >95% of the reference's
+        # 100k-iteration schedule runs (update list fires at ~2.5k iters).
+        # Returns None when the mask artifact is absent.
+        if not os.path.exists(ALPHA_MASK_NPZ):
+            return None, None
+        from rodynrf_tpu.fields.alpha_mask import load_alpha_npz
+
+        trainer.alpha_mask = load_alpha_npz(ALPHA_MASK_NPZ)
+        trainer._enable_train_compaction()
+        if not trainer.compact_k:
+            return None, None
     for _ in range(warmup):
         m = trainer.run_step()
     float(m["total_loss"])
@@ -118,8 +132,9 @@ def measure_render(trainer, scene, chunk=8192, reps=10, bf16=False, masked=False
     mask (golden/out_quality/.../alpha_mask.npz, built by
     scripts/export_alpha.py from the QUALITY.md no_poses checkpoint) and
     runs the compacted early-out path — the production --compact_eval
-    configuration (exact vs dense-masked, tests/test_render_compact.py).
-    Returns None when the mask artifact is absent."""
+    configuration (exact vs the superset-masked dense oracle,
+    tests/test_render_compact.py). Returns None when the mask artifact is
+    absent."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -262,6 +277,16 @@ def main():
         else render_rays_bf16_dense
     )
     _drop_buffers()
+    # train-time occupancy compaction (--compact_train) at the same config:
+    # the post-first-mask operating point (trainer probes K from the
+    # committed converged-scene mask; 228.9 ms vs 424.7 ms dense, PERF.md §14)
+    def _config_compact():
+        sps, trainer = measure_train(scene, 300 ** 3, warmup, iters, bf16=True,
+                                     compact=True)
+        return sps, (trainer.compact_k if trainer is not None else None)
+
+    sps_300_compact, compact_k = _config_compact()
+    _drop_buffers()
     # f32 bit-parity mode (--bf16 0), for comparison. grad_accum=2: the f32
     # 300^3 step's program alone needs 15.40 GB of HBM at HEAD (measured:
     # OOM by 2.07 MB with NOTHING else resident) — two scan-accumulated
@@ -293,6 +318,10 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3),
         "steps_per_sec": round(sps_300_bf16, 3),
+        "rays_per_sec_compact": (
+            round(sps_300_compact * BATCH, 1) if sps_300_compact else None
+        ),
+        "compact_k": compact_k,
         "rays_per_sec_f32": round(sps_300_f32 * BATCH, 1),
         "f32_grad_accum": 2,
         "render_rays_per_sec": round(render_rays, 1),

@@ -47,7 +47,7 @@ def make_chunk_renderer(
     step_size: float,
     alpha_mask=None,
     compact: bool = False,
-    k_quantum: int = 32,
+    flat_quantum: int = 16384,
 ):
     """Build the jitted per-chunk render function (eval mode: deterministic
     sampling, no stochastic white fill).
@@ -56,18 +56,24 @@ def make_chunk_renderer(
     marked invalid before the field evaluation, the reference's early-out
     (tensorBase.py:745-765).
 
-    compact: with an alpha_mask, COMPACT each ray's occupied samples into a
-    fixed [R, K] bucket and run both field evaluations only on those — the
-    TPU-native form of the reference's `xyz[ray_valid]` boolean early-out
-    (tensorBase.py:745-804). K is chosen per chunk as the max per-ray
-    occupied count rounded up to `k_quantum` (one compiled executable per
-    bucket, cached): skipped samples have sigma = blending = rgb = 0 in the
-    dense path too, so the composited maps are EXACT up to the compositor's
-    +1e-10 cumprod epsilon at dropped rows (~1e-8 relative; asserted by
-    tests/test_render_compact.py). Only `delta_xyz` changes definition: the
-    mean warp displacement runs over the evaluated samples instead of all S
-    (a vis-only diagnostic; the dense path averages the warp over masked
-    samples too)."""
+    compact: with an alpha_mask, COMPACT the whole chunk's occupied samples
+    into ONE flat array and run both field evaluations only on those — the
+    TPU-native form of the reference's `xyz[ray_valid]` flat evaluation +
+    scatter-back (tensorBase.py:745-804). The selector is the single-gather
+    nearest-voxel test on the pre-dilated volume (a strict superset of the
+    trilinear>0 kept set — see the comment at _occ_probe), evaluated ONCE
+    per chunk. The flat bucket size is the chunk's total occupied count
+    rounded up to `flat_quantum` (one compiled executable per bucket,
+    cached — see _flat_fn for why chunk-level beats a per-ray [R, K]
+    bucket under skewed occupancy). Skipped samples have sigma = blending
+    = rgb = 0 in the superset-masked dense render too, so the composited
+    maps are EXACT vs that dense render up to the compositor's +1e-10
+    cumprod epsilon at dropped rows (~1e-8 relative; asserted by
+    tests/test_render_compact.py, along with the superset property vs the
+    trilinear mask). Only `delta_xyz` changes definition: the mean warp
+    displacement runs over the kept samples instead of all S (a vis-only
+    diagnostic; the dense path averages the warp over masked samples
+    too)."""
     import functools as _functools
 
     from .pipeline import _dists_and_viewdirs
@@ -121,49 +127,204 @@ def make_chunk_renderer(
     def render_dense(params, packs, aabb, rays, ts) -> RenderMaps:
         return _render_dense(params, packs, aabb, rays, ts, alpha_mask)
 
-    @jax.jit
-    def _max_count(aabb, rays, ts, mask):
-        _, _, valid = _sample_and_mask(aabb, rays, ts, mask)
-        return jnp.max(jnp.sum(valid.astype(jnp.int32), axis=1))
+    # Compact-path occupancy selector: nearest-voxel test on a PRE-DILATED
+    # volume — ONE gathered byte per sample vs the trilinear test's 8 corner
+    # gathers (takes serialize per index, PERF.md §1: the trilinear mask at
+    # 8192x270 samples is ~17.7M indices ≈ 230 ms/chunk, 2x the whole dense
+    # field evaluation). Dilation (fields/alpha_mask.dilate_occupancy) makes
+    # the kept set a strict SUPERSET of the trilinear>0 kept set: every
+    # dropped sample is one the reference's early-out drops too, and extra
+    # kept samples contribute their TRUE field values — the compacted output
+    # sits between the reference's masked render and the unmasked dense
+    # render. Superset + exactness-vs-superset-dense are asserted by
+    # tests/test_render_compact.py; same selector as the train step
+    # (train/step.py _occupancy).
+    if compact and alpha_mask is not None:
+        from ..fields.alpha_mask import dilate_occupancy, occupancy_nearest
+
+        vol_dilated = dilate_occupancy(alpha_mask.alpha_volume)
+
+        @jax.jit
+        def _occ_probe(aabb, rays, ts, vol, maabb):
+            # vol/maabb ride as jit ARGUMENTS (constant-embedding would blow
+            # the remote-compile request, see _sample_and_mask); xyz/z/occ
+            # stay on device, only the max count scalar is fetched
+            xyz, z_vals, ray_valid = sample_xyz(
+                rays, n_samples, ray_type, static_cfg.near_far, aabb, step_size, None
+            )
+            R, S, _ = xyz.shape
+            t_flat = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1)
+            occ = ray_valid & occupancy_nearest(
+                vol, maabb, xyz.reshape(-1, 3), t_flat
+            ).reshape(R, S)
+            return xyz, z_vals, occ, jnp.sum(occ.astype(jnp.int32))
+
+        @jax.jit
+        def _render_dense_occ(params, packs, aabb, rays, ts, xyz, z_vals, occ):
+            # superset-masked DENSE render: the compact path's exactness
+            # oracle (same selector, no compaction) and the wrapper's
+            # fallback when the bucket would not shrink the sample axis
+            return _finish(params, packs, aabb, rays, ts, xyz, z_vals, occ)
 
     @_functools.lru_cache(maxsize=None)
-    def _compact_fn(K: int):
+    def _flat_fn(N: int):
+        """CHUNK-LEVEL flat compaction: all occupied samples of the chunk
+        ride in ONE [N] flat array — the TPU-native mirror of the
+        reference's `xyz[ray_valid]` flat evaluation + scatter-back
+        (tensorBase.py:745-804), with N a quantized static bucket size.
+
+        A per-ray [R, K] bucket (the train step's form) is hostage to the
+        LONGEST ray under the measured skew (mean 38 / max 215 occupied of
+        270): one long ray forces K≈max for the whole chunk and the
+        "compacted" eval does near-dense work (measured: 296 ms vs 240 ms
+        dense). The flat form's work scales with the MEAN occupancy.
+        Field evaluations (gathers + shading MLPs) run on the N flat
+        samples; the per-sample outputs scatter back to dense [R, S]
+        (one N-index scatter) and the cheap elementwise compositor runs
+        dense — output EXACT vs the superset-masked dense oracle."""
+
         @jax.jit
-        def render_compact(params, packs, aabb, rays, ts, mask) -> RenderMaps:
-            xyz, z_vals, valid = _sample_and_mask(aabb, rays, ts, mask)
-            # dense-space consecutive-z dists; compacted z_vals cannot
-            # reproduce them (each kept sample keeps ITS dense interval)
-            dists, _ = _dists_and_viewdirs(rays, z_vals, ray_type)
-            # valid-first stable order preserves ascending z among kept
-            # samples (transmittance order); dropped slots carry alpha=0
-            order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)
-            idx = order[:, :K]
-            keep = jnp.take_along_axis(valid, idx, axis=1)
-            xyz_c = jnp.take_along_axis(xyz, idx[..., None], axis=1)
-            z_c = jnp.take_along_axis(z_vals, idx, axis=1)
-            d_c = jnp.take_along_axis(dists, idx, axis=1)
-            return _finish(
-                params, packs, aabb, rays, ts, xyz_c, z_c, keep,
-                dists=d_c, keepf=keep.astype(jnp.float32),
+        def render_flat(params, packs, aabb, rays, ts, xyz, z_vals, occ) -> RenderMaps:
+            from ..fields.mlps import apply_shading
+            from ..fields.static import feature2density
+            from ..ops.compositing import raw2alpha
+            from ..fields.dynamic import normalize_coord
+
+            R, S, _ = xyz.shape
+            RS = R * S
+            dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
+
+            # flat slot table: slot n -> dense position idx_flat[n]; unused
+            # slots hold the sentinel RS (their scatter writes drop). If
+            # N < the true occupied count (misuse of a pinned N), overflow
+            # samples drop to sigma=0 — the wrapper always sizes N >= count.
+            occf = occ.reshape(-1)
+            pos = jnp.cumsum(occf.astype(jnp.int32)) - 1
+            src = jnp.where(occf, pos, N)  # unoccupied -> OOB, dropped
+            idx_flat = (
+                jnp.full((N,), RS, jnp.int32)
+                .at[src]
+                .set(jnp.arange(RS, dtype=jnp.int32), mode="drop")
+            )
+            idx_safe = jnp.minimum(idx_flat, RS - 1)  # clamp for gathers
+            rid = idx_safe // S
+
+            xyz_f = xyz.reshape(RS, 3).at[idx_safe].get(mode="promise_in_bounds")
+            t_f = ts.at[rid].get(mode="promise_in_bounds")
+            vd_f = viewdirs.at[rid].get(mode="promise_in_bounds")
+            xyz_fn = normalize_coord(xyz_f, aabb)
+
+            # static: density + appearance in one fused gather, shading MLP
+            sig_feat_s, app_s = stat_fields.all_features_fused(
+                params["static"], static_cfg, xyz_fn, packed=packs[0]
+            )
+            sigma_s_f = feature2density(sig_feat_s, static_cfg)
+            rgb_s_f = apply_shading(
+                params["static"]["shading"], static_cfg.shading_mode,
+                static_cfg.view_pe, static_cfg.fea_pe, static_cfg.pos_pe,
+                xyz_fn, vd_f, app_s, t_f[:, None],
             )
 
-        # public signature stays (params, packs, aabb, rays, ts); the mask
-        # rides along as a jit argument (see _sample_and_mask)
-        def call(params, packs, aabb, rays, ts):
-            return render_compact(params, packs, aabb, rays, ts, alpha_mask)
+            # dynamic: warp once, density+blending+appearance in one gather
+            xyz_prime_f = dyn_fields.warp_coordinate(
+                params["dynamic"], xyz_f, t_f, aabb
+            )
+            xyz_prime_fn = normalize_coord(xyz_prime_f, aabb)
+            sig_feat_d, blend_feat, app_d = dyn_fields.all_features_fused(
+                params["dynamic"], dynamic_cfg, xyz_fn, t_f, xyz_prime_fn,
+                packed=packs[1],
+            )
+            sigma_d_f = feature2density(sig_feat_d, dynamic_cfg)
+            blend_f = jax.nn.sigmoid(blend_feat)
+            rgb_d_f = apply_shading(
+                params["dynamic"]["shading"], dynamic_cfg.shading_mode,
+                dynamic_cfg.view_pe, dynamic_cfg.fea_pe, dynamic_cfg.pos_pe,
+                xyz_fn, vd_f, app_d, t_f[:, None],
+            )
+
+            # ONE packed scatter-back: [sig_s, sig_d, blend, rgb_s, rgb_d,
+            # xyz_prime] = 12 channels; zeros everywhere the mask dropped
+            # (exactly the oracle's where(occ, ., 0))
+            payload = jnp.concatenate(
+                [
+                    sigma_s_f[:, None], sigma_d_f[:, None], blend_f[:, None],
+                    rgb_s_f, rgb_d_f, xyz_prime_f,
+                ],
+                axis=-1,
+            )
+            dense = (
+                jnp.zeros((RS, payload.shape[-1]), payload.dtype)
+                .at[idx_flat]
+                .set(payload, mode="drop")
+            )
+            sigma_s = dense[:, 0].reshape(R, S)
+            sigma_d = dense[:, 1].reshape(R, S)
+            blending = dense[:, 2].reshape(R, S)
+            rgb_s_raw = dense[:, 3:6].reshape(R, S, 3)
+            rgb_d_raw = dense[:, 6:9].reshape(R, S, 3)
+            xyz_prime = dense[:, 9:12].reshape(R, S, 3)
+
+            # reference app_mask semantics: rgb zeroed below the TRUE
+            # transmittance-weight threshold (needs dense sigma, so it runs
+            # post-scatter; tensorBase.py:774-804)
+            _, w_s, _ = raw2alpha(sigma_s, dists * static_cfg.distance_scale)
+            _, w_d, _ = raw2alpha(sigma_d, dists * dynamic_cfg.distance_scale)
+            rgb_s = jnp.where(
+                (w_s > static_cfg.ray_march_weight_thres)[..., None], rgb_s_raw, 0.0
+            )
+            rgb_d = jnp.where(
+                (w_d > dynamic_cfg.ray_march_weight_thres)[..., None], rgb_d_raw, 0.0
+            )
+
+            out = raw2outputs(
+                rgb_s, sigma_s, rgb_d, sigma_d,
+                dists * dynamic_cfg.distance_scale, blending, z_vals, rays,
+                is_train=False, ray_type=ray_type,
+            )
+            kf = occ.astype(jnp.float32)[..., None]
+            delta = jnp.sum(jnp.abs(xyz_prime - xyz) * kf, axis=1) / jnp.maximum(
+                jnp.sum(kf, axis=1), 1.0
+            )
+            return RenderMaps(
+                out.rgb_full, out.depth_full, out.rgb_s, out.depth_s,
+                out.rgb_d, out.depth_d, out.dynamicness, delta,
+            )
+
+        # public signature stays (params, packs, aabb, rays, ts); the
+        # occupancy probe runs once per chunk and its device-resident
+        # geometry is handed straight to the flat executable
+        def call(params, packs, aabb, rays, ts, probed=None):
+            if probed is None:
+                probed = _occ_probe(
+                    aabb, rays, ts, vol_dilated, alpha_mask.aabb
+                )[:3]
+            xyz, z_vals, occ = probed
+            return render_flat(params, packs, aabb, rays, ts, xyz, z_vals, occ)
 
         return call
 
     def render_chunk_wrapped(params, packs, aabb, rays, ts):
         if not (compact and alpha_mask is not None):
             return render_dense(params, packs, aabb, rays, ts)
-        maxc = int(_max_count(aabb, rays, ts, alpha_mask))
-        K = min(n_samples, -(-max(maxc, 1) // k_quantum) * k_quantum)
-        if K >= n_samples:
-            return render_dense(params, packs, aabb, rays, ts)
-        return _compact_fn(K)(params, packs, aabb, rays, ts)
+        xyz, z_vals, occ, total = _occ_probe(
+            aabb, rays, ts, vol_dilated, alpha_mask.aabb
+        )
+        RS = rays.shape[0] * n_samples
+        N = min(RS, -(-max(int(total), 1) // flat_quantum) * flat_quantum)
+        if N >= RS:
+            return _render_dense_occ(params, packs, aabb, rays, ts, xyz, z_vals, occ)
+        return _flat_fn(N)(params, packs, aabb, rays, ts, probed=(xyz, z_vals, occ))
 
-    render_chunk_wrapped.compact_fn = _compact_fn  # bench/tests: pin one K
+    render_chunk_wrapped.flat_fn = _flat_fn  # bench/tests: pin one bucket N
+    if compact and alpha_mask is not None:
+        # the compact path's exactness oracle, exposed for tests/bench
+        def _dense_superset(params, packs, aabb, rays, ts):
+            xyz, z_vals, occ, _ = _occ_probe(
+                aabb, rays, ts, vol_dilated, alpha_mask.aabb
+            )
+            return _render_dense_occ(params, packs, aabb, rays, ts, xyz, z_vals, occ)
+
+        render_chunk_wrapped.dense_superset = _dense_superset
 
     # gather tables are built once per FRAME by render_image (not once per
     # chunk inside the jitted body): ~15 ms of table construction amortized
