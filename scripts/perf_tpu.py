@@ -57,7 +57,7 @@ def chain_time(step, args, n_lo=3, n_hi=13):
     return (hi - lo) / (n_hi - n_lo)
 
 
-def bench_step(n_voxel: int, label: str, iters=30, bf16=False):
+def bench_step(n_voxel: int, label: str, iters=30, bf16=False, grad_accum=0):
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
 
@@ -76,7 +76,7 @@ def bench_step(n_voxel: int, label: str, iters=30, bf16=False):
         f"--TV_weight_density 1.0 --TV_weight_app 1.0 "
         f"--distortion_weight_dynamic 0.01 "
         f"--optimize_poses 1 --optimize_focal_length 1 --use_disp 1 "
-        f"--bf16 {int(bf16)}"
+        f"--bf16 {int(bf16)} --grad_accum {grad_accum}"
     )
     scene = make_synthetic_scene(T=T, H=H, W=W)
     tr = Trainer(args, scene)
@@ -93,6 +93,7 @@ def bench_step(n_voxel: int, label: str, iters=30, bf16=False):
     res = {
         "label": label,
         "bf16": bf16,
+        "grad_accum": grad_accum,
         "grid": list(tr.static_cfg.grid_size),
         "n_samples": tr.n_samples,
         "remat": tr._remat_policy(),
@@ -188,7 +189,12 @@ def bench_scatter_vs_pallas():
 
 def main():
     results = {"device": str(jax.devices()[0]), "method": "value-forced chained timing"}
-    results["step_300_f32"] = bench_step(300 ** 3, "300^3 steady state f32")
+    # grad_accum=2: the f32 300^3 step's program alone needs 15.75 GB of HBM
+    # (AOT-measured: over by 2.07 MB with nothing else resident) — two
+    # scan-accumulated micro-batches bound live memory structurally with
+    # identical gradient math (same fix as bench.py's f32 config)
+    results["step_300_f32"] = bench_step(
+        300 ** 3, "300^3 steady state f32 (grad_accum=2)", grad_accum=2)
     print(json.dumps(results["step_300_f32"]), flush=True)
     results["step_300_bf16"] = bench_step(300 ** 3, "300^3 steady state bf16", bf16=True)
     print(json.dumps(results["step_300_bf16"]), flush=True)

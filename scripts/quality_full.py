@@ -70,6 +70,26 @@ RUNS = {
         dist_static=0.0,
         psnr_floor=28.0,
     ),
+    # PRODUCTION-FEATURE run (VERDICT r4 item 8): the gt_poses recipe with
+    # update_AlphaMask_list firing mid-run (0.3/0.6 of the budget, after the
+    # last upsample so the dual-field mask is built at the final 300^3 grid)
+    # and --compact_train ON — the occupancy-compacted [R, K] train step
+    # (train/step.py) carries the remainder of the run, and the final eval
+    # renders through the flat-compacted masked path (PERF.md §14). Gates
+    # compaction's quality: the PSNR trajectory and final eval must match
+    # the dense gt_poses run.
+    "gt_poses_compact": dict(
+        n_voxel_init=2097156,
+        n_voxel_final=27000000,
+        upsamp_frac=[0.08, 0.12, 0.16, 0.22],
+        optimize=0,
+        tv_density=1.0,
+        tv_app=1.0,
+        dist_static=0.0,
+        psnr_floor=28.0,
+        alpha_frac=[0.3, 0.6],
+        compact_train=1,
+    ),
 }
 
 
@@ -102,11 +122,14 @@ def run(name: str, out: dict):
 
     cfg = RUNS[name]
     up = [max(1, int(N_ITERS * f)) for f in cfg["upsamp_frac"]]
+    alpha_up = [max(1, int(N_ITERS * f)) for f in cfg.get("alpha_frac", [])]
     args = parse_cmd(
         f"--expname q_{name} --datadir none --dataset_name synthetic "
         f"--n_iters {N_ITERS} --batch_size 1024 --N_voxel_t {T} "
         f"--N_voxel_init {cfg['n_voxel_init']} --N_voxel_final {cfg['n_voxel_final']} "
         + " ".join(f"--upsamp_list {u}" for u in up)
+        + "".join(f" --update_AlphaMask_list {u}" for u in alpha_up)
+        + f" --compact_train {cfg.get('compact_train', 0)}"
         + f" --step_ratio 2.0 --ray_type ndc "
         f"--model_name TensorVMSplit_TimeEmbedding --shadingMode MLP_Fea_late_view "
         f"--shadingModeStatic MLP_Fea "
@@ -124,8 +147,11 @@ def run(name: str, out: dict):
 
     t0 = time.time()
     psnr_curve = []
+    alpha_set = set(alpha_up)
     for it in range(N_ITERS):
         m = tr.run_step()
+        if (it + 1) in alpha_set:  # mirrors the train.py loop's firing
+            tr.update_alpha_mask()
         if (it + 1) % max(N_ITERS // 40, 1) == 0:
             p = float(m["psnr"])
             psnr_curve.append((it + 1, round(p, 2)))
@@ -152,9 +178,12 @@ def run(name: str, out: dict):
     poses_mtx = np.asarray(pose_to_mtx(tr.params["pose"]))
     fov = float(np.asarray(tr.params["fov"])[0, 0])
     focal = max(H, W) / 2.0 / np.tan(fov) if cfg["optimize"] else tr.focal_fixed
+    # production eval: when the run built an occupancy mask, the final eval
+    # renders through the flat-compacted masked path (--compact_eval)
     render_chunk = make_chunk_renderer(
         tr.static_cfg, tr.dynamic_cfg, "ndc", tr.n_samples,
         tr.static_cfg.step_size(np.asarray(scene.scene_bbox)),
+        alpha_mask=tr.alpha_mask, compact=tr.alpha_mask is not None,
     )
     save_path = os.path.join(OUT_ROOT, name, "imgs_test_all")
     PSNRs, _, _ = evaluate(
@@ -182,6 +211,11 @@ def run(name: str, out: dict):
         "n_iters": N_ITERS,
         "grid_final": list(tr.static_cfg.grid_size),
         "n_samples": int(tr.n_samples),
+        "compact_k": int(tr.compact_k),
+        "mask_occupancy": (
+            round(float(np.asarray(tr.alpha_mask.alpha_volume).mean()), 4)
+            if tr.alpha_mask is not None else None
+        ),
         "grad_accum": int(tr._grad_accum()),
         "psnr_curve": psnr_curve,
         "eval_psnr": round(float(np.mean(PSNRs)), 2),
@@ -218,6 +252,10 @@ def write_md(out):
     sched = {
         "no_poses": "16^3->640^3 (Nvidia_no_poses, 7 upsamples, pose+focal optim)",
         "gt_poses": "128^3->300^3 (Nvidia, GT poses, TV on)",
+        "gt_poses_compact": (
+            "128^3->300^3 + update_AlphaMask_list @0.3/0.6 + --compact_train "
+            "(masked flat-compacted final eval)"
+        ),
     }
     for name, r in out.items():
         if name not in RUNS or "eval_psnr" not in r:

@@ -129,6 +129,28 @@ if variant in ("share", "noshare"):
         "bwd_ms": round(t_fb - t_f, 1),
     }
     print(variant, out[variant], flush=True)
+elif variant == "compact":
+    # fwd/bwd split of the occupancy-compacted step (--compact_train,
+    # PERF.md §14) against the committed converged-scene mask
+    from rodynrf_tpu.fields.alpha_mask import load_alpha_npz
+
+    tr.alpha_mask = load_alpha_npz(os.path.join(
+        REPO, "golden", "out_quality", "no_poses", "alpha_mask.npz"))
+    tr._enable_train_compaction()
+    assert tr.compact_k, "probe declined to compact"
+    data = tr.data  # now carries alpha_volume/alpha_aabb
+    S = tr._statics()
+    fwd, fb = variants_for(S)
+    t_f = timed_chain(fwd)
+    print("compact fwd", round(t_f, 1), flush=True)
+    t_fb = timed_chain(fb)
+    out["compact"] = {
+        "K": int(tr.compact_k),
+        "fwd_ms": round(t_f, 1),
+        "fwd_bwd_ms": round(t_fb, 1),
+        "bwd_ms": round(t_fb - t_f, 1),
+    }
+    print("compact", out["compact"], flush=True)
 elif variant == "fullstep":
     # full step (production step_fn incl. optimizer; trainer default flags)
     for _ in range(3):

@@ -201,7 +201,8 @@ def reconstruction(args):
         metrics = trainer.run_step()
         # occupancy-mask refresh (the reference parses update_AlphaMask_list
         # but never reads it, opt.py:211; functional here — the mask feeds
-        # the eval/render early-out and checkpoints, never the train step)
+        # the eval/render early-out, checkpoints, and, with --compact_train,
+        # the train step's [R, K] sample compaction)
         if (it + 1) in update_alpha_iters:
             trainer.update_alpha_mask()
         if (it + 1) % args.progress_refresh_rate == 0:
