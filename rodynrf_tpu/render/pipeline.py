@@ -55,6 +55,49 @@ def _dists_and_viewdirs(rays, z_vals, ray_type):
     return dists, viewdirs
 
 
+def _flat_index(ray_valid: jnp.ndarray, N: int):
+    """Flat slot table over the occupied samples of a [R, S] mask.
+
+    Maps flat slot n -> row-major dense position idx_flat[n] in [0, R*S)
+    (sentinel R*S for unused slots: gathers clamp, the payload scatter
+    drops). Occupied samples beyond the N-th drop too — the caller sizes N
+    above the batch-total occupancy (trainer probe) so that is a rare-batch
+    tail event. The scatter positions are a cumsum of the mask, hence
+    unique. This is the train step's form of the eval renderer's
+    chunk-level flat compaction (renderer.py _flat_fn); reference analog:
+    the `xyz[ray_valid]` flat evaluation + scatter-back
+    (tensorBase.py:745-804)."""
+    R, S = ray_valid.shape
+    RS = R * S
+    occf = ray_valid.reshape(-1)
+    pos = jnp.cumsum(occf.astype(jnp.int32)) - 1
+    src = jnp.where(occf, pos, N)  # unoccupied -> OOB, dropped
+    idx_flat = (
+        jnp.full((N,), RS, jnp.int32)
+        .at[src]
+        .set(jnp.arange(RS, dtype=jnp.int32), mode="drop")
+    )
+    idx_safe = jnp.minimum(idx_flat, RS - 1)  # clamp for gathers
+    return idx_flat, idx_safe, idx_safe // S
+
+
+def _scatter_payload(idx_flat, parts, RS: int):
+    """ONE packed scatter-back of per-flat-sample channels to dense [RS, C],
+    with a leading coverage channel (1 where a flat slot landed): overflow-
+    dropped samples must read as EMPTY (sigma = blending = 0), not as
+    feature2density(0) — which is nonzero for softplus-class activations."""
+    cols = [jnp.ones((idx_flat.shape[0], 1), jnp.float32)]
+    for p in parts:
+        cols.append((p[:, None] if p.ndim == 1 else p).astype(jnp.float32))
+    payload = jnp.concatenate(cols, axis=-1)
+    dense = (
+        jnp.zeros((RS, payload.shape[-1]), payload.dtype)
+        .at[idx_flat]
+        .set(payload, mode="drop")
+    )
+    return dense[:, 0] > 0, dense[:, 1:]
+
+
 def _shade_compacted(shading_params, cfg: FieldConfig, weight, idx_keep, pts, vd_rays, app_fn, ts):
     """Appearance gather + shading MLP on the per-ray top-K bucket only.
 
@@ -92,6 +135,7 @@ def eval_static_field(
     ray_type: str = "ndc",
     packed=None,
     dists=None,
+    flat_n: int = 0,
 ) -> FieldEval:
     """Static field forward over [R, S] samples.
 
@@ -100,17 +144,47 @@ def eval_static_field(
     dists: optional precomputed per-sample dists (UNscaled, i.e. the
     _dists_and_viewdirs output) — the compacted eval renderer passes the
     dense-space consecutive-z dists, which cannot be recovered from the
-    compacted z_vals (render/renderer.py)."""
+    compacted z_vals (render/renderer.py).
+    flat_n: > 0 routes the per-sample work (feature gathers + shading MLP)
+    through a flat [flat_n] bucket of only the ray_valid samples, scattered
+    back dense — the train step's flat compaction (StepStatics.compact_flat;
+    exact vs this dense-masked path whenever the batch's occupied count
+    fits, tests/test_compact_train.py)."""
     R, S, _ = xyz.shape
     dense_dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
     if dists is None:
         dists = dense_dists
 
     xyz_n = dyn.normalize_coord(xyz, aabb)
-    flat = xyz_n.reshape(-1, 3)
 
     if packed is None:
         packed = stat.pack_tables(params, cfg)
+
+    if flat_n > 0:
+        RS = R * S
+        idx_flat, idx_safe, rid = _flat_index(ray_valid, flat_n)
+        pts_f = xyz_n.reshape(RS, 3).at[idx_safe].get(mode="promise_in_bounds")
+        sigma_feat_f, app_f = stat.all_features_fused(params, cfg, pts_f, packed=packed)
+        sigma_f = feature2density(sigma_feat_f, cfg)
+        vd_f = viewdirs.at[rid].get(mode="promise_in_bounds")
+        t_f = ts.at[rid].get(mode="promise_in_bounds")
+        rgb_f = apply_shading(
+            params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
+            pts_f, vd_f, app_f, t_f[:, None],
+        )
+        covered, dense = _scatter_payload(idx_flat, (sigma_f, rgb_f), RS)
+        sigma = jnp.where(ray_valid & covered.reshape(R, S), dense[:, 0].reshape(R, S), 0.0)
+        _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+        rgb = jnp.where(
+            (weight > cfg.ray_march_weight_thres)[..., None],
+            dense[:, 1:4].reshape(R, S, 3), 0.0,
+        )
+        return FieldEval(
+            blending=None, pts_ref=xyz, weights=weight, xyz_prime=None,
+            rgb=rgb, sigma=sigma, z_vals=z_vals, dists=dists * cfg.distance_scale,
+        )
+
+    flat = xyz_n.reshape(-1, 3)
     K = cfg.app_topk(S)
     compacted = isinstance(packed, dict) and 0 < K < S
 
@@ -164,6 +238,7 @@ def eval_dynamic_field(
     ray_type: str = "ndc",
     packed=None,
     dists=None,
+    flat_n: int = 0,
 ) -> FieldEval:
     """Dynamic field forward over [R, S] samples.
 
@@ -172,11 +247,52 @@ def eval_dynamic_field(
     four times with identical inputs — see fields/dynamic.py docstring).
 
     dists: optional precomputed UNscaled dists (see eval_static_field).
+    flat_n: flat-bucket compaction of the per-sample work (warp + gathers +
+    shading), see eval_static_field. xyz_prime is zero off the kept set (no
+    train-loss consumer; the dense path's values there are weight-masked by
+    every consumer anyway).
     """
     R, S, _ = xyz.shape
     dense_dists, viewdirs = _dists_and_viewdirs(rays, z_vals, ray_type)
     if dists is None:
         dists = dense_dists
+
+    if flat_n > 0:
+        if packed is None:
+            packed = dyn.pack_tables(params, cfg)
+        RS = R * S
+        idx_flat, idx_safe, rid = _flat_index(ray_valid, flat_n)
+        xyz_f = xyz.reshape(RS, 3).at[idx_safe].get(mode="promise_in_bounds")
+        t_f = ts.at[rid].get(mode="promise_in_bounds")
+        xyz_prime_f = dyn.warp_coordinate(params, xyz_f, t_f, aabb)
+        xyz_n_f = dyn.normalize_coord(xyz_f, aabb)
+        xyz_prime_n_f = dyn.normalize_coord(xyz_prime_f, aabb)
+        sigma_feat_f, blend_feat_f, app_f = dyn.all_features_fused(
+            params, cfg, xyz_n_f, t_f, xyz_prime_n_f, packed=packed
+        )
+        sigma_f = feature2density(sigma_feat_f, cfg)
+        blend_f = jax.nn.sigmoid(blend_feat_f)
+        vd_f = viewdirs.at[rid].get(mode="promise_in_bounds")
+        rgb_f = apply_shading(
+            params["shading"], cfg.shading_mode, cfg.view_pe, cfg.fea_pe, cfg.pos_pe,
+            xyz_n_f, vd_f, app_f, t_f[:, None],
+        )
+        covered, dense = _scatter_payload(
+            idx_flat, (sigma_f, blend_f, rgb_f, xyz_prime_f), RS
+        )
+        live = ray_valid & covered.reshape(R, S)
+        sigma = jnp.where(live, dense[:, 0].reshape(R, S), 0.0)
+        blending = jnp.where(live, dense[:, 1].reshape(R, S), 0.0)
+        _, weight, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+        rgb = jnp.where(
+            (weight > cfg.ray_march_weight_thres)[..., None],
+            dense[:, 2:5].reshape(R, S, 3), 0.0,
+        )
+        return FieldEval(
+            blending=blending, pts_ref=xyz, weights=weight,
+            xyz_prime=dense[:, 5:8].reshape(R, S, 3),
+            rgb=rgb, sigma=sigma, z_vals=z_vals, dists=dists * cfg.distance_scale,
+        )
 
     xyz_flat = xyz.reshape(-1, 3)
     xyz_n = dyn.normalize_coord(xyz, aabb)

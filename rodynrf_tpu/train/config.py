@@ -222,6 +222,16 @@ def config_parser(cmd: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "training — exact vs the dense-masked step while "
                         "every ray's occupied count <= K "
                         "(tests/test_compact_train.py). 0 = off (default)")
+    parser.add_argument("--compact_flat", type=int, default=1,
+                        help="with --compact_train: run the field evals' "
+                        "per-sample work (gathers + warp + shading) on a "
+                        "FLAT bucket of only the occupied samples (sized by "
+                        "the batch-mean occupancy + 4 batch-sigma), "
+                        "scattered back to the [R, K] layout — work scales "
+                        "with the MEAN occupancy instead of the p99.5 "
+                        "(render/pipeline.py flat_n; exact vs the [R, K] "
+                        "step while the batch total fits, "
+                        "tests/test_compact_train.py). 0 = [R, K] evals")
     parser.add_argument("--compact_quantile", type=float, default=0.995,
                         help="per-ray occupancy quantile sizing the train "
                         "compaction bucket K (Trainer._probe_compact_k): "

@@ -155,6 +155,19 @@ class StepStatics:
     # drop their FARTHEST occupied samples. The trainer sizes K from a
     # measured occupancy probe (Trainer._probe_compact_k). 0 = dense.
     compact_k: int = 0
+    # with compact_k: additionally run each field evaluation's PER-SAMPLE
+    # work (feature gathers + warp + shading MLP) on a FLAT bucket of
+    # compact_flat x R slots holding only the occupied samples, scattered
+    # back to the [R, K] layout (render/pipeline.py flat_n path). The [R, K]
+    # bucket pads every ray to the p99.5 occupancy (K=96 vs mean 38 at the
+    # measured converged-scene skew) — the flat bucket's work scales with
+    # the batch-MEAN occupancy instead, the same argument as the eval
+    # renderer's chunk-level flat compaction (renderer.py _flat_fn). EXACT
+    # vs the [R, K] step whenever the batch's total occupied count fits
+    # (CLT-concentrated at batch 1024; trainer._probe_compact_k sizes it
+    # with a 4-sigma + 10% margin); overflow drops trailing rays' samples.
+    # 0 = dense [R, K] evals.
+    compact_flat: int = 0
     # data-parallel mesh: when set, the ray batch's partitioning is asserted
     # with sharding constraints instead of relying on GSPMD inference. The
     # trainer guarantees the batch divides this mesh (non-divisible batches
@@ -331,16 +344,22 @@ def _dual_pass(params, S: StepStatics, aabb, sp: PassSpec, packs=None, shared_st
         )
         dists_pre = None
 
+    # flat-bucket evals apply only on compacted geometry (dists_pre is the
+    # compaction marker: occupied samples are a prefix of each [R, K] row)
+    flat_n = S.compact_flat * rays.shape[0] if (
+        S.compact_flat > 0 and dists_pre is not None
+    ) else 0
+
     def run_static(p, rays_, xyz_, packed_, dists_):
         return eval_static_field(
             p, S.static_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type,
-            packed=packed_, dists=dists_,
+            packed=packed_, dists=dists_, flat_n=flat_n,
         )
 
     def run_dynamic(p, rays_, xyz_, packed_, dists_):
         return eval_dynamic_field(
             p, S.dynamic_cfg, aabb, rays_, ts, xyz_, z_vals, ray_valid, S.ray_type,
-            packed=packed_, dists=dists_,
+            packed=packed_, dists=dists_, flat_n=flat_n,
         )
 
     if S.remat:
@@ -487,16 +506,23 @@ def _batched_passes(params, S: StepStatics, aabb, specs, packs):
         dv = None if ds[0] is None else _shard_rows(_cat(ds))
         return rays, ts, xyz, zv, rv, dv
 
+    def _flat_n(rv_, dists_):
+        # flat-bucket evals on compacted geometry only (see _dual_pass);
+        # scales with the group's concatenated row count
+        if S.compact_flat > 0 and dists_ is not None:
+            return S.compact_flat * rv_.shape[0]
+        return 0
+
     def run_static(p, rays_, ts_, xyz_, zv_, rv_, packed_, dists_):
         return eval_static_field(
             p, S.static_cfg, aabb, rays_, ts_, xyz_, zv_, rv_, S.ray_type,
-            packed=packed_, dists=dists_,
+            packed=packed_, dists=dists_, flat_n=_flat_n(rv_, dists_),
         )
 
     def run_dynamic(p, rays_, ts_, xyz_, zv_, rv_, packed_, dists_):
         return eval_dynamic_field(
             p, S.dynamic_cfg, aabb, rays_, ts_, xyz_, zv_, rv_, S.ray_type,
-            packed=packed_, dists=dists_,
+            packed=packed_, dists=dists_, flat_n=_flat_n(rv_, dists_),
         )
 
     if S.remat:

@@ -163,6 +163,9 @@ class Trainer:
         # train-time compaction: per-ray occupied-bucket size (0 = dense);
         # sized by _probe_compact_k once update_alpha_mask fires
         self.compact_k = 0
+        # flat-bucket slots per ray for the field evals (0 = [R, K] dense
+        # evals); see StepStatics.compact_flat
+        self.compact_flat = 0
         # golden-comparison hook: callable(iteration) -> (ray_idx, ray_idx_rand)
         # replacing the permutation samplers with an externally recorded stream
         self.sampler_override = None
@@ -304,6 +307,7 @@ class Trainer:
             share_forward=bool(getattr(a, "share_forward", 1)),
             use_alpha_mask=self.compact_k > 0,
             compact_k=self.compact_k,
+            compact_flat=self.compact_flat,
         )
 
     def _grad_accum(self) -> int:
@@ -481,20 +485,28 @@ class Trainer:
         return occ
 
     def _probe_compact_k(self, stride: int = 3, margin: float = 1.1,
-                         quantum: int = 16) -> int:
-        """Size the train step's per-ray occupied bucket from the measured
+                         quantum: int = 16) -> tuple:
+        """Size the train step's compaction buckets from the measured
         occupancy DISTRIBUTION over a strided probe of every frame's pixel
-        grid at the CURRENT cameras.
+        grid at the CURRENT cameras. Returns (K, flat_per_ray).
 
-        Per-ray occupancy is heavily skewed (measured at the converged
-        no_poses mask: mean 37, p99.5 ~2-4x the mean, max 199 of 270) — a
-        max-based K forfeits most of the win to a sliver of long rays, so K
-        = quantile(counts, --compact_quantile, default 0.995) x margin
-        (sampler jitter moves samples by up to one bin; poses drift until
-        the next mask refresh), rounded up to `quantum` (compile-cache
-        friendly). Rays above K drop their FARTHEST occupied samples
-        (occluded-most-first; exactness for >=quantile of rays, quality
-        gated by the --compact_train long run, QUALITY.md)."""
+        K ([R, K] bucket): per-ray occupancy is heavily skewed (measured at
+        the converged no_poses mask: mean 37, p99.5 ~2-4x the mean, max 199
+        of 270) — a max-based K forfeits most of the win to a sliver of
+        long rays, so K = quantile(counts, --compact_quantile, default
+        0.995) x margin (sampler jitter moves samples by up to one bin;
+        poses drift until the next mask refresh), rounded up to `quantum`
+        (compile-cache friendly). Rays above K drop their FARTHEST occupied
+        samples (occluded-most-first; exactness for >=quantile of rays,
+        quality gated by the --compact_train long run, QUALITY.md).
+
+        flat_per_ray (flat bucket, StepStatics.compact_flat): the field
+        evals' per-sample work scales with the batch TOTAL, which
+        CLT-concentrates at batch 1024 — sized from the UNION-occupancy
+        mean (shared A/B/E geometry masks with the union of two times,
+        train_loss) plus 4 batch-sigma, x margin. Probed with an
+        independent random time per ray, the same distribution the step's
+        ts_rand draws from."""
         from ..fields.alpha_mask import occupancy_nearest
         from ..render.sampling import sample_xyz
         from ..core.se3 import pose_to_mtx
@@ -508,7 +520,7 @@ class Trainer:
         pix = np.ascontiguousarray((vv * W + uu).reshape(-1).astype(np.int64))
 
         @jax.jit
-        def probe(params, ray_idx, ts):
+        def probe(params, ray_idx, ts, ts_rand):
             if S.optimize_focal:
                 focal = focal_from_fov(params["fov"][0, 0], H, W)
             else:
@@ -519,25 +531,42 @@ class Trainer:
                 self.aabb, S.step_size, None,
             )
             R_, S_ = valid.shape
+            flat3 = xyz.reshape(-1, 3)
             t_flat = jnp.broadcast_to(ts[:, None], (R_, S_)).reshape(-1)
-            occ = occupancy_nearest(
-                vol_d, mask.aabb, xyz.reshape(-1, 3), t_flat
+            tr_flat = jnp.broadcast_to(ts_rand[:, None], (R_, S_)).reshape(-1)
+            occ = occupancy_nearest(vol_d, mask.aabb, flat3, t_flat).reshape(R_, S_)
+            occ_u = occ | occupancy_nearest(
+                vol_d, mask.aabb, flat3, tr_flat
             ).reshape(R_, S_)
-            return jnp.sum((valid & occ).astype(jnp.int32), axis=1)
+            return (
+                jnp.sum((valid & occ).astype(jnp.int32), axis=1),
+                jnp.sum((valid & occ_u).astype(jnp.int32), axis=1),
+            )
 
-        counts = np.concatenate([
-            np.asarray(probe(self.params, jnp.asarray(t * H * W + pix),
-                             self.data["ts"][jnp.asarray(t * H * W + pix)]))
-            for t in range(T)
-        ])
+        rng = np.random.default_rng(0)
+        all_ts = np.asarray(self.data["ts"][:: H * W])  # one t per frame
+        cs, cus = [], []
+        for t in range(T):
+            idx = jnp.asarray(t * H * W + pix)
+            tr = jnp.asarray(rng.choice(all_ts, size=pix.shape[0]), jnp.float32)
+            c, cu = probe(self.params, idx, self.data["ts"][idx], tr)
+            cs.append(np.asarray(c))
+            cus.append(np.asarray(cu))
+        counts = np.concatenate(cs)
+        counts_u = np.concatenate(cus)
         q = float(getattr(self.args, "compact_quantile", 0.995))
         c_q = float(np.quantile(counts, min(max(q, 0.0), 1.0)))
         K = int(-(-c_q * margin // quantum) * quantum)
         K = min(max(K, quantum), self.n_samples)
+        B = max(int(self.args.batch_size), 1)
+        f_budget = (counts_u.mean() + 4.0 * counts_u.std() / np.sqrt(B)) * margin
+        F = int(-(-f_budget // 8) * 8)
+        F = min(max(F, 8), self.n_samples)
         print(f"compaction probe: occupied mean {counts.mean():.1f} "
-              f"p{100 * q:g} {c_q:.0f} max {counts.max()} "
-              f"of {self.n_samples} samples/ray -> K={K}")
-        return K
+              f"(union {counts_u.mean():.1f}) p{100 * q:g} {c_q:.0f} "
+              f"max {counts_u.max()} of {self.n_samples} samples/ray "
+              f"-> K={K} flat={F}")
+        return K, F
 
     def _dilated_volume(self):
         """The train step's occupancy volume: the mask pre-dilated one extra
@@ -556,12 +585,13 @@ class Trainer:
         an HLO constant, see render/renderer.py), compact_k from the probe.
         Skips (stays dense) when the probe says the bucket would not shrink
         the sample axis by at least ~15%."""
-        K = self._probe_compact_k()
+        K, F = self._probe_compact_k()
         if K >= self.n_samples or K > 0.85 * self.n_samples:
             if self.compact_k:
                 self.data = {k: v for k, v in self.data.items()
                              if not k.startswith("alpha_")}
                 self.compact_k = 0
+                self.compact_flat = 0
                 self._build_step()
             print(f"train compaction disabled (K={K} of {self.n_samples})")
             return
@@ -576,8 +606,14 @@ class Trainer:
         self.data = dict(self.data)
         self.data.update(extra)
         self.compact_k = K
+        # flat-bucket evals only when they beat the [R, K] bucket's padded
+        # work by a useful margin (they add an index build + scatter-back)
+        self.compact_flat = (
+            F if bool(getattr(self.args, "compact_flat", 1)) and F < 0.85 * K else 0
+        )
         self._build_step()
-        print(f"train compaction enabled: K={K} of {self.n_samples} samples/ray")
+        print(f"train compaction enabled: K={K} flat={self.compact_flat} "
+              f"of {self.n_samples} samples/ray")
 
     def _upsample(self, iteration: int):
         """Coarse-to-fine grid growth (reference: train.py:2582-2606)."""

@@ -81,8 +81,21 @@ def main():
     n_voxel_side = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 300
     steps = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 6
     bf16 = "--f32" not in sys.argv
+    compact = "--compact" in sys.argv  # profile the --compact_train step
+    global OUT
+    if compact:
+        OUT = os.path.join(REPO, "scripts", "profile_step_compact.json")
 
     tr = build_trainer(n_voxel_side, bf16)
+    if compact:
+        from rodynrf_tpu.fields.alpha_mask import load_alpha_npz
+
+        tr.alpha_mask = load_alpha_npz(
+            os.path.join(REPO, "golden", "out_quality", "no_poses", "alpha_mask.npz")
+        )
+        tr._enable_train_compaction()
+        assert tr.compact_k, "compaction probe declined"
+        print(f"compact K={tr.compact_k}", flush=True)
     t0 = time.perf_counter()
     for _ in range(3):
         m = tr.run_step()
@@ -159,7 +172,8 @@ def main():
         json.dump(
             {
                 "device": str(jax.devices()[0]),
-                "config": {"n_vox": n_voxel_side, "bf16": bf16, "steps": steps},
+                "config": {"n_vox": n_voxel_side, "bf16": bf16, "steps": steps,
+                           "compact_k": tr.compact_k if compact else 0},
                 "device_ms_per_step": round(per_step, 2),
                 "categories_ms_per_step": {
                     c: round(us / steps / 1e3, 3)

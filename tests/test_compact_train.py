@@ -32,9 +32,9 @@ def _mask_data(trainer, volume):
     return data
 
 
-def _run(trainer, data, use_mask, K, key, ray_idx, ray_idx_rand, it=5):
+def _run(trainer, data, use_mask, K, key, ray_idx, ray_idx_rand, it=5, flat=0):
     S = dataclasses.replace(
-        trainer._statics(), use_alpha_mask=use_mask, compact_k=K
+        trainer._statics(), use_alpha_mask=use_mask, compact_k=K, compact_flat=flat
     )
     sc = {
         "iteration": jnp.asarray(it, jnp.int32),
@@ -197,6 +197,94 @@ def test_compacted_sequential_matches_batched():
     def run(fused):
         S = dataclasses.replace(
             trainer._statics(), use_alpha_mask=True, compact_k=K, fused_passes=fused
+        )
+        sc = {
+            "iteration": jnp.asarray(5, jnp.int32),
+            "focal_fixed": jnp.asarray(trainer.focal_fixed, jnp.float32),
+        }
+        sc.update({
+            k: jnp.asarray(v, jnp.float32)
+            for k, v in trainer.schedule.scalars(5).items()
+        })
+        (loss, metrics), grads = jax.jit(
+            jax.value_and_grad(
+                lambda p: train_loss(p, S, trainer.aabb, data, ri, rr, key, sc),
+                has_aux=True,
+            )
+        )(trainer.params)
+        return loss, metrics, grads
+
+    _assert_close(run(True), run(False), rtol=2e-5)
+
+
+@pytest.mark.integration
+def test_flat_matches_bucket():
+    """Flat-bucket field evals (compact_flat, render/pipeline.py flat_n)
+    equal the [R, K] bucket step in every loss and gradient whenever the
+    flat budget holds every occupied sample (here: flat = n_samples, an
+    upper bound on any per-ray count)."""
+    from rodynrf_tpu.testing import tiny_cmd, tiny_scene
+    from rodynrf_tpu.train import Trainer, parse_cmd
+
+    args = parse_cmd(
+        tiny_cmd("ndc", 1) + " --N_voxel_init 32768 --N_voxel_final 32768"
+    )
+    trainer = Trainer(args, tiny_scene("ndc"))
+    key = jax.random.PRNGKey(13)
+    ri = jnp.asarray(trainer.sampler.nextids())
+    rr = jnp.asarray(trainer.sampler2.nextids())
+
+    T = trainer.args.N_voxel_t
+    vol = RNG.integers(0, 2, (8, 8, 8, T)).astype(np.uint8)
+    vol[:3] = 0
+    data = _mask_data(trainer, vol)
+
+    ts_train = trainer.data["ts"][ri]
+    ts_rand = trainer.data["ts"][rr]
+    max_occ = _occupancy_counts(trainer, data, ri, [ts_train, ts_rand])
+    K = min(trainer.n_samples, max_occ + 2)
+
+    bucket = _run(trainer, data, True, K, key, ri, rr)
+    flat = _run(trainer, data, True, K, key, ri, rr, flat=trainer.n_samples)
+    _assert_close(flat, bucket, rtol=2e-6, grad_atol=5e-5)
+
+
+@pytest.mark.integration
+def test_flat_overflow_drops_to_empty():
+    """An undersized flat budget must degrade gracefully: overflow samples
+    read as EMPTY (sigma = blending = rgb = 0), never as garbage — loss and
+    gradients stay finite."""
+    trainer = tiny_trainer("ndc", 1)
+    key = jax.random.PRNGKey(19)
+    ri = jnp.asarray(trainer.sampler.nextids())
+    rr = jnp.asarray(trainer.sampler2.nextids())
+    vol = np.ones((8, 8, 8, trainer.args.N_voxel_t), np.uint8)
+    data = _mask_data(trainer, vol)
+    K = max(2, trainer.n_samples - 2)
+
+    loss, metrics, grads = _run(trainer, data, True, K, key, ri, rr, flat=2)
+    assert np.isfinite(float(loss))
+    for v in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(v)).all()
+
+
+@pytest.mark.integration
+def test_flat_sequential_matches_batched():
+    """fused_passes on/off parity holds for flat-bucket evals too (the
+    batched path sizes each group's flat bucket by its concatenated rows)."""
+    trainer = tiny_trainer("ndc", 1)
+    key = jax.random.PRNGKey(23)
+    ri = jnp.asarray(trainer.sampler.nextids())
+    rr = jnp.asarray(trainer.sampler2.nextids())
+    vol = RNG.integers(0, 2, (8, 8, 8, trainer.args.N_voxel_t)).astype(np.uint8)
+    vol[:3] = 0
+    data = _mask_data(trainer, vol)
+    K = max(2, trainer.n_samples - 2)
+
+    def run(fused):
+        S = dataclasses.replace(
+            trainer._statics(), use_alpha_mask=True, compact_k=K,
+            compact_flat=trainer.n_samples, fused_passes=fused,
         )
         sc = {
             "iteration": jnp.asarray(5, jnp.int32),
