@@ -277,9 +277,10 @@ def main():
         else render_rays_bf16_dense
     )
     _drop_buffers()
-    # train-time occupancy compaction (--compact_train) at the same config:
-    # the post-first-mask operating point (trainer probes K from the
-    # committed converged-scene mask; 228.9 ms vs 424.7 ms dense, PERF.md §14)
+    # train-time occupancy compaction (--compact_train, [R,K] buckets +
+    # flat-bucket field evals) at the same config: the post-first-mask
+    # operating point (trainer probes K and the flat budget from the
+    # committed converged-scene mask; 192.2 ms vs 424.7 ms dense, PERF.md §14)
     def _config_compact():
         sps, trainer = measure_train(scene, 300 ** 3, warmup, iters, bf16=True,
                                      compact=True)

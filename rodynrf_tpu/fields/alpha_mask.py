@@ -55,7 +55,8 @@ def dilate_occupancy(alpha_volume: jnp.ndarray) -> jnp.ndarray:
 
 
 def occupancy_nearest(
-    alpha_volume: jnp.ndarray, mask_aabb: jnp.ndarray, xyz: jnp.ndarray, t: jnp.ndarray
+    alpha_volume: jnp.ndarray, mask_aabb: jnp.ndarray, xyz: jnp.ndarray,
+    t: jnp.ndarray, shape=None,
 ) -> jnp.ndarray:
     """Nearest-voxel occupancy bit at (xyz, t): ONE gathered byte per sample.
 
@@ -69,10 +70,19 @@ def occupancy_nearest(
     approximation. Out-of-aabb samples test unoccupied (the trilinear
     zero-padding contract).
 
-    alpha_volume: [D, H, W, T] uint8 (pre-dilated); xyz [N, 3] world;
-    t [N] in [-1, 1]. Returns bool [N].
+    alpha_volume: [D, H, W, T] uint8 (pre-dilated) — or FLAT [D*H*W*T] with
+    the dims in `shape` (the train step stores the volume 1-D: a 4-D jit
+    parameter gets an XLA-chosen tiled layout that costs a full-volume
+    relayout copy + reshape EVERY step before the flat gather, ~6.6 ms at
+    192^3x12, profile_step_compact.json); xyz [N, 3] world; t [N] in
+    [-1, 1]. Returns bool [N].
     """
-    D, H, W, T = alpha_volume.shape
+    if alpha_volume.ndim == 1:
+        D, H, W, T = shape
+        flat_vol = alpha_volume
+    else:
+        D, H, W, T = alpha_volume.shape
+        flat_vol = alpha_volume.reshape(-1)
     xyz_n = normalize_coord(xyz, mask_aabb)
 
     def near(u, n):
@@ -90,7 +100,7 @@ def occupancy_nearest(
     inb = ibx & iby & ibz
     t_int = jnp.clip(jnp.round((t + 1.0) / 2.0 * (T - 1)).astype(jnp.int32), 0, T - 1)
     idx = ((gz * H + gy) * W + gx) * T + t_int
-    v = alpha_volume.reshape(-1).at[idx].get(mode="promise_in_bounds")
+    v = flat_vol.at[idx].get(mode="promise_in_bounds")
     return (v > 0) & inb
 
 

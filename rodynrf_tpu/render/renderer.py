@@ -142,7 +142,12 @@ def make_chunk_renderer(
     if compact and alpha_mask is not None:
         from ..fields.alpha_mask import dilate_occupancy, occupancy_nearest
 
-        vol_dilated = dilate_occupancy(alpha_mask.alpha_volume)
+        _vd = dilate_occupancy(alpha_mask.alpha_volume)
+        # FLAT layout: a 4-D u8 jit parameter gets an XLA-chosen tiled
+        # layout costing a full-volume relayout copy + reshape per chunk
+        # before the flat gather (fields/alpha_mask.occupancy_nearest)
+        vol_shape = tuple(int(s) for s in _vd.shape)
+        vol_dilated = _vd.reshape(-1)
 
         @jax.jit
         def _occ_probe(aabb, rays, ts, vol, maabb):
@@ -155,7 +160,7 @@ def make_chunk_renderer(
             R, S, _ = xyz.shape
             t_flat = jnp.broadcast_to(ts[:, None], (R, S)).reshape(-1)
             occ = ray_valid & occupancy_nearest(
-                vol, maabb, xyz.reshape(-1, 3), t_flat
+                vol, maabb, xyz.reshape(-1, 3), t_flat, shape=vol_shape
             ).reshape(R, S)
             return xyz, z_vals, occ, jnp.sum(occ.astype(jnp.int32))
 

@@ -146,6 +146,10 @@ class StepStatics:
     # reference). Off by default; activated by the trainer once
     # update_AlphaMask_list fires (--compact_train).
     use_alpha_mask: bool = False
+    # static (D, H, W, T) dims of the FLAT data["alpha_volume"] — the volume
+    # rides 1-D so the jit parameter needs no per-step relayout copy before
+    # the occupancy gather (fields/alpha_mask.occupancy_nearest docstring)
+    alpha_shape: tuple = ()
     # with use_alpha_mask: compact each pass's samples to its per-ray [R, K]
     # occupied bucket (K static) before the field evaluations — the eval
     # renderer's [R, K] early-out (render/renderer.py:129-164) applied to the
@@ -277,7 +281,7 @@ def _unpack_samp(samp):
     return xyz, z_vals, valid, None
 
 
-def _occupancy(data, xyz, ts, valid):
+def _occupancy(data, xyz, ts, valid, alpha_shape=None):
     """valid & alpha-mask occupancy at each (sample, time) — the reference's
     early-out (tensorBase.py:745-765) as a where-mask. Selection only: the
     mask query runs on detached positions (a boolean carries no gradient in
@@ -289,7 +293,8 @@ def _occupancy(data, xyz, ts, valid):
     R, S_ = valid.shape
     t_flat = jnp.broadcast_to(ts[:, None], (R, S_)).reshape(-1)
     occ = occupancy_nearest(
-        data["alpha_volume"], data["alpha_aabb"], sg(xyz).reshape(-1, 3), t_flat
+        data["alpha_volume"], data["alpha_aabb"], sg(xyz).reshape(-1, 3), t_flat,
+        shape=alpha_shape,
     ).reshape(R, S_)
     return valid & occ
 
@@ -863,9 +868,9 @@ def train_loss(
             # union of their per-time occupancies (keeps A/B's reuse of E's
             # static eval exact; a superset of per-pass masking)
             xyz_sh, z_sh, valid_sh = samp_live
-            occ_u = _occupancy(data, xyz_sh, ts_train, valid_sh) | _occupancy(
-                data, xyz_sh, ts_rand, valid_sh
-            )
+            occ_u = _occupancy(
+                data, xyz_sh, ts_train, valid_sh, S.alpha_shape
+            ) | _occupancy(data, xyz_sh, ts_rand, valid_sh, S.alpha_shape)
             if K > 0:
                 samp_m, idx_sh = _compact_samp(
                     xyz_sh, z_sh, occ_u, rays_train, S.ray_type, K
@@ -890,7 +895,7 @@ def train_loss(
                     aabb, S.step_size, sp.k_samp, det_jitter=S.golden_det,
                 )
             )
-            occ_p = _occupancy(data, xyz_p, sp.ts, v_p)
+            occ_p = _occupancy(data, xyz_p, sp.ts, v_p, S.alpha_shape)
             if K > 0:
                 samp_m, idx_p = _compact_samp(
                     xyz_p, z_p, occ_p, sp.rays, S.ray_type, K

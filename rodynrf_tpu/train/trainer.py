@@ -166,6 +166,8 @@ class Trainer:
         # flat-bucket slots per ray for the field evals (0 = [R, K] dense
         # evals); see StepStatics.compact_flat
         self.compact_flat = 0
+        # static dims of the FLAT data["alpha_volume"] (StepStatics.alpha_shape)
+        self.alpha_shape = ()
         # golden-comparison hook: callable(iteration) -> (ray_idx, ray_idx_rand)
         # replacing the permutation samplers with an externally recorded stream
         self.sampler_override = None
@@ -308,6 +310,7 @@ class Trainer:
             use_alpha_mask=self.compact_k > 0,
             compact_k=self.compact_k,
             compact_flat=self.compact_flat,
+            alpha_shape=self.alpha_shape,
         )
 
     def _grad_accum(self) -> int:
@@ -592,11 +595,17 @@ class Trainer:
                              if not k.startswith("alpha_")}
                 self.compact_k = 0
                 self.compact_flat = 0
+                self.alpha_shape = ()
                 self._build_step()
             print(f"train compaction disabled (K={K} of {self.n_samples})")
             return
+        vol_d = self._dilated_volume()
+        # flat layout: a 4-D u8 jit parameter costs a full-volume relayout
+        # copy + reshape EVERY step before the occupancy gather (~6.6 ms at
+        # 192^3x12, profile_step_compact.json); dims ride StepStatics
+        self.alpha_shape = tuple(int(s) for s in vol_d.shape)
         extra = {
-            "alpha_volume": self._dilated_volume(),
+            "alpha_volume": vol_d.reshape(-1),
             "alpha_aabb": self.alpha_mask.aabb,
         }
         if self.mesh is not None:

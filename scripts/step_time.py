@@ -85,7 +85,9 @@ def main():
         if k_env:
             tr.compact_k = k_env
             tr.data = dict(tr.data)
-            tr.data["alpha_volume"] = tr._dilated_volume()
+            vol_d = tr._dilated_volume()
+            tr.alpha_shape = tuple(int(s) for s in vol_d.shape)
+            tr.data["alpha_volume"] = vol_d.reshape(-1)
             tr.data["alpha_aabb"] = tr.alpha_mask.aabb
             tr._build_step()
             print(f"compaction forced: K={k_env}", flush=True)

@@ -322,3 +322,22 @@ def test_trainer_enables_compaction_end_to_end():
     if trainer.compact_k:
         assert "alpha_volume" in trainer.data
         assert trainer.compact_k <= trainer.n_samples
+
+
+def test_occupancy_nearest_flat_matches_4d():
+    """The production path stores data["alpha_volume"] FLAT (1-D) with dims
+    in StepStatics.alpha_shape to avoid a per-step relayout copy of the 4-D
+    jit parameter; the flat+shape form must be bit-identical to the 4-D
+    form (fields/alpha_mask.occupancy_nearest)."""
+    from rodynrf_tpu.fields.alpha_mask import occupancy_nearest
+
+    rng = np.random.default_rng(11)
+    D, H, W, T = 6, 5, 7, 3
+    vol = jnp.asarray(rng.integers(0, 2, (D, H, W, T)), jnp.uint8)
+    aabb = jnp.asarray([[-1.2, -1.0, -0.8], [1.1, 0.9, 1.3]])
+    xyz = jnp.asarray(rng.uniform(-1.5, 1.5, (257, 3)), jnp.float32)
+    t = jnp.asarray(rng.uniform(-1.2, 1.2, (257,)), jnp.float32)
+
+    a = occupancy_nearest(vol, aabb, xyz, t)
+    b = occupancy_nearest(vol.reshape(-1), aabb, xyz, t, shape=(D, H, W, T))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -233,3 +233,68 @@ def test_grad_accum_under_mesh(shard_grids):
     )
     for leaf in jax.tree_util.tree_leaves(new_params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_compacted_multichip_matches_single_chip():
+    """Occupancy-compacted step ([R, K] buckets + flat-bucket field evals)
+    under the 8-device data mesh equals the single-device compacted step.
+    The flat path's index build is a cumsum over the whole [R*S] batch plus
+    a global scatter — exactly the kind of op GSPMD must resolve with
+    collectives under ray sharding, so it needs explicit mesh coverage."""
+    import dataclasses
+
+    from rodynrf_tpu.train.step import make_train_step
+
+    tr = tiny_trainer("ndc", 1)
+    ray_idx = jnp.asarray(tr.sampler.nextids())
+    ray_idx_rand = jnp.asarray(tr.sampler2.nextids())
+    key = jax.random.PRNGKey(41)
+    sc = {
+        "iteration": jnp.asarray(5, jnp.int32),
+        "focal_fixed": jnp.asarray(tr.focal_fixed, jnp.float32),
+        "lr_spatial": jnp.asarray(0.02, jnp.float32),
+        "lr_network": jnp.asarray(1e-3, jnp.float32),
+        "lr_pose": jnp.asarray(3e-3, jnp.float32),
+        "lr_focal": jnp.asarray(0.0, jnp.float32),
+    }
+
+    rng = np.random.default_rng(7)
+    T = tr.args.N_voxel_t
+    vol = rng.integers(0, 2, (8, 8, 8, T)).astype(np.uint8)
+    vol[:2] = 0
+    data = dict(tr.data)
+    data["alpha_volume"] = jnp.asarray(vol, jnp.uint8)
+    data["alpha_aabb"] = jnp.asarray(tr.aabb)
+
+    K = max(2, tr.n_samples - 2)
+    statics = dataclasses.replace(
+        tr._statics(), use_alpha_mask=True, compact_k=K,
+        compact_flat=tr.n_samples,
+    )
+    step_1dev = make_train_step(
+        dataclasses.replace(statics, mesh=None), donate=False
+    )
+    _, _, m1 = step_1dev(
+        tr.params, tr.opt_state, tr.aabb, data, ray_idx, ray_idx_rand, key, sc
+    )
+
+    mesh = statics.mesh if statics.mesh is not None else make_mesh(8)
+    step_8dev = make_train_step(
+        dataclasses.replace(statics, mesh=mesh), donate=False
+    )
+    params, opt_state, aabb, data_s = shard_train_inputs(
+        mesh, tr.params, tr.opt_state, tr.aabb, data
+    )
+    idx = shard_batch_indices(mesh, ray_idx)
+    idx_r = shard_batch_indices(mesh, ray_idx_rand)
+    with mesh:
+        new_params, _, m8 = step_8dev(
+            params, opt_state, aabb, data_s, idx, idx_r, key, sc
+        )
+
+    loss1, loss8 = float(m1["total_loss"]), float(m8["total_loss"])
+    assert np.isfinite(loss1) and np.isfinite(loss8)
+    np.testing.assert_allclose(loss1, loss8, rtol=2e-3)
+    for leaf in jax.tree_util.tree_leaves(new_params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
