@@ -44,6 +44,10 @@ def main():
         sys.argv[sys.argv.index("--grad_impl") + 1]
         if "--grad_impl" in sys.argv else "autodiff"
     )
+    # --batch N: throughput at a larger ray batch (amortizes the per-step
+    # table-sized costs: pack + cotangent buffers + Adam, ~40-50 ms at
+    # 300^3 regardless of batch; reference default is 1024)
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1024
 
     from rodynrf_tpu.data import make_synthetic_scene
     from rodynrf_tpu.train import Trainer, parse_cmd
@@ -51,7 +55,7 @@ def main():
     T, H, W = 12, 270, 480
     args = parse_cmd(
         f"--expname steptime --datadir none --dataset_name synthetic "
-        f"--n_iters 100000 --batch_size 1024 --N_voxel_t {T} "
+        f"--n_iters 100000 --batch_size {batch} --N_voxel_t {T} "
         f"--N_voxel_init {n_voxel_side**3} --N_voxel_final {n_voxel_side**3} "
         f"--upsamp_list 8000 --upsamp_list 12000 --upsamp_list 16000 --upsamp_list 22000 "
         f"--step_ratio 2.0 --ray_type ndc "
@@ -106,7 +110,7 @@ def main():
         v = float(m["total_loss"])
         dt = time.perf_counter() - t0
         print(
-            f"iters={n}: per-step {dt/n*1e3:.2f} ms, {1024*n/dt:,.0f} rays/s "
+            f"iters={n}: per-step {dt/n*1e3:.2f} ms, {batch*n/dt:,.0f} rays/s "
             f"(loss {v:.4f})",
             flush=True,
         )
