@@ -152,6 +152,12 @@ def run(name: str, out: dict):
         m = tr.run_step()
         if (it + 1) in alpha_set:  # mirrors the train.py loop's firing
             tr.update_alpha_mask()
+        if (it + 1) % 100 == 0:
+            # bound the enqueue backlog: run_step does not block, and a
+            # single fetch waiting behind >~4 min of enqueued device work
+            # wedges this tunneled attachment (observed twice at the 300^3
+            # dense phase with the 625-iter print cadence of a 25k budget)
+            float(m["total_loss"])
         if (it + 1) % max(N_ITERS // 40, 1) == 0:
             p = float(m["psnr"])
             psnr_curve.append((it + 1, round(p, 2)))
